@@ -1,0 +1,33 @@
+from .ast import (
+    TermQ,
+    BoolQ,
+    PhraseQ,
+    PrefixQ,
+    WildcardQ,
+    RangeQ,
+    MatchAllQ,
+    DocValEqQ,
+    KeyFilterQ,
+    Occur,
+)
+from .scorer import bm25_idf, bm25_tf_weight, BM25, TermFrequencySimilarity
+from .engine import IndexSearcher, SearchResult
+
+__all__ = [
+    "TermQ",
+    "BoolQ",
+    "PhraseQ",
+    "PrefixQ",
+    "WildcardQ",
+    "RangeQ",
+    "MatchAllQ",
+    "DocValEqQ",
+    "KeyFilterQ",
+    "Occur",
+    "bm25_idf",
+    "bm25_tf_weight",
+    "BM25",
+    "TermFrequencySimilarity",
+    "IndexSearcher",
+    "SearchResult",
+]

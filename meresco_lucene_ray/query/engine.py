@@ -1,0 +1,347 @@
+"""Sharded query engine: a stateful actor pool over index segments.
+
+Reference parity: the engine is the Ray-native replacement for the
+SuperCollector machinery — per-slice collectors merged at the top
+(/root/reference/src/org/meresco/lucene/search/TopScoreDocSuperCollector.java:34-48,
+MultiSuperCollector, Lucene.executeQuery at Lucene.java:253-320):
+
+- each ``SegmentActor`` holds 1..m ``SegmentSearcher``s in memory (loaded once
+  in ``__init__`` — the ST1 SearcherTaxonomyManager analog),
+- a query fans out once per actor; per-segment top-k heaps / facet count
+  maps / key bitsets come back and are merged on the driver exactly the way
+  TopDocs.merge / array-sum / bitset-OR merge them,
+- global BM25 stats use a two-phase exchange (collect per-shard df for the
+  query's terms, sum, then score) — the distributed-IDF scheme of
+  dfs_query_then_fetch search engines; N and avgdl come from the manifest.
+
+Scale: fan-out is O(actors) messages each way per query phase; per-actor
+payloads are top-k rows / count dicts / packed bitsets — never postings.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from .ast import BoolQ, KeyFilterQ, Occur, query_terms
+from .scorer import BM25
+from .segment import SegmentSearcher
+from ..index.manifest import IndexManifest
+
+DEFAULT_STOP = 10  # reference default page size (meresco/lucene/_lucene.py:98-99)
+DEDUP_MORE_RECORDS = 100  # overfetch when dedup is on (Lucene.java:267-269)
+MAX_RETRY_K = 10000  # paging retry cap (Lucene.java:312-319)
+
+
+class _SegmentActorImpl:
+    """Holds several segments; all per-segment methods fan in here."""
+
+    def __init__(self, index_dir: str, seg_paths: list[str]):
+        self.searchers = [SegmentSearcher(os.path.join(index_dir, p)) for p in seg_paths]
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for s in self.searchers:
+            for t, df in s.term_stats(terms).items():
+                out[t] = out.get(t, 0) + df
+        return out
+
+    def top_k(self, q, k, sim, stats, sort_spec, cols):
+        tables = [s.top_k(q, k, sim, stats, sort_spec, cols) for s in self.searchers]
+        total = sum(int(t.schema.metadata[b"total"]) for t in tables)
+        merged = pa.concat_tables(tables, promote_options="default")
+        return merged, total
+
+    def count(self, q, sim, stats) -> int:
+        return sum(s.count(q, sim, stats) for s in self.searchers)
+
+    def facet_counts(self, q, sim, stats, col):
+        out: dict[Any, int] = {}
+        for s in self.searchers:
+            for v, c in s.facet_counts(q, sim, stats, col).items():
+                out[v] = out.get(v, 0) + c
+        return out
+
+    def collect_keys(self, q, sim, stats, key_col, size):
+        bs = np.zeros(size, dtype=bool)
+        for s in self.searchers:
+            bs |= s.collect_keys(q, sim, stats, key_col, size)
+        return np.packbits(bs)
+
+    def key_max_scores(self, q, sim, stats, key_col, size):
+        out = np.zeros(size, dtype=np.float64)
+        for s in self.searchers:
+            np.maximum(out, s.key_max_scores(q, sim, stats, key_col, size), out=out)
+        return out
+
+    def prefix_terms(self, prefix, limit):
+        acc: dict[str, int] = {}
+        for s in self.searchers:
+            terms, dfs = s.prefix_terms(prefix, limit)
+            for t, d in zip(terms, dfs.tolist()):
+                acc[t] = acc.get(t, 0) + d
+        return acc
+
+    def all_terms_stats(self) -> dict[str, int]:
+        acc: dict[str, int] = {}
+        for s in self.searchers:
+            for t, d in zip(s.terms, s.df.tolist()):
+                acc[t] = acc.get(t, 0) + d
+        return acc
+
+    def fetch(self, docids: np.ndarray, cols):
+        # group docids by segment base
+        out = []
+        for s in self.searchers:
+            lo, hi = s.base, s.base + s.n
+            sel = docids[(docids >= lo) & (docids < hi)]
+            if sel.size:
+                out.append(s.fetch(sel, cols))
+        return pa.concat_tables(out) if out else None
+
+
+@dataclass
+class SearchResult:
+    """LuceneResponse analog
+    (/root/reference/src/org/meresco/lucene/LuceneResponse.java:44-99)."""
+
+    total: int
+    hits: pa.Table  # docid, __id__, score, requested stored cols (+dedup extras)
+    drilldown_data: dict[str, dict[Any, int]] = field(default_factory=dict)
+    total_with_duplicates: int | None = None
+
+    def ids(self) -> list[str]:
+        return self.hits["__id__"].to_pylist()
+
+
+class IndexSearcher:
+    """Actor-pool searcher over a built index directory."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_actors: int | None = None,
+        similarity: BM25 | None = None,
+        num_cpus: float = 1.0,
+    ):
+        import ray
+
+        self.index_dir = index_dir
+        self.manifest = IndexManifest.load(index_dir)
+        self.sim = similarity or BM25(
+            k1=self.manifest.config.get("k1", 0.9), b=self.manifest.config.get("b", 0.4)
+        )
+        segs = [s.path for s in self.manifest.segments]
+        n_act = min(num_actors or max(1, len(segs)), max(1, len(segs)))
+        assign: list[list[str]] = [[] for _ in range(n_act)]
+        for i, p in enumerate(segs):
+            assign[i % n_act].append(p)
+        Actor = ray.remote(num_cpus=num_cpus)(_SegmentActorImpl)
+        self.actors = [Actor.remote(index_dir, paths) for paths in assign if paths]
+
+    # ---- helpers --------------------------------------------------------
+    def _stats(self, q) -> dict:
+        import ray
+
+        terms = sorted(query_terms(q))
+        dfs: dict[str, int] = {}
+        if terms:
+            for part in ray.get([a.term_stats.remote(terms) for a in self.actors]):
+                for t, d in part.items():
+                    dfs[t] = dfs.get(t, 0) + d
+        return {"N": self.manifest.num_docs, "avgdl": self.manifest.avgdl, "df": dfs}
+
+    # ---- public API -----------------------------------------------------
+    def execute(
+        self,
+        q,
+        start: int = 0,
+        stop: int = DEFAULT_STOP,
+        sort: list[tuple[str, bool, Any]] | None = None,
+        facets: Sequence[str] = (),
+        stored_fields: Sequence[str] = (),
+        dedup_field: str | None = None,
+        dedup_sort_field: str | None = None,
+    ) -> SearchResult:
+        """Single-core executeQuery (Lucene.java:253-342): top-k + facets +
+        dedup with the reference's overfetch-and-retry paging loop."""
+        import ray
+
+        stats = self._stats(q)
+        cols = list(dict.fromkeys(stored_fields))
+        if sort:
+            for c, _, _ in sort:
+                if c != "score" and c not in cols:
+                    cols.append(c)
+        if dedup_field:
+            for c in (dedup_field, dedup_sort_field):
+                if c and c not in cols:
+                    cols.append(c)
+
+        if dedup_field:
+            page, total, total_with_dups = self._execute_dedup(
+                q, stats, start, stop, dedup_field, dedup_sort_field, cols
+            )
+        else:
+            k = max(stop, 1)
+            parts = ray.get(
+                [a.top_k.remote(q, k, self.sim, stats, sort, cols) for a in self.actors]
+            )
+            merged = pa.concat_tables([t for t, _ in parts], promote_options="default")
+            total = sum(tot for _, tot in parts)
+            hits = self._merge_hits(merged, sort)
+            total_with_dups = None
+            page = hits.slice(start, max(0, stop - start))
+        drilldown: dict[str, dict[Any, int]] = {}
+        if facets:
+            facet_parts = ray.get(
+                [
+                    a.facet_counts.remote(q, self.sim, stats, colname)
+                    for a in self.actors
+                    for colname in facets
+                ]
+            )
+            for i, colname in enumerate(facets):
+                agg: dict[Any, int] = {}
+                for j in range(len(self.actors)):
+                    for v, c in facet_parts[j * len(facets) + i].items():
+                        agg[v] = agg.get(v, 0) + c
+                drilldown[colname] = dict(
+                    sorted(agg.items(), key=lambda kv: (-kv[1], str(kv[0])))
+                )
+        return SearchResult(
+            total=total,
+            hits=page,
+            drilldown_data=drilldown,
+            total_with_duplicates=total_with_dups,
+        )
+
+    def _merge_hits(self, merged: pa.Table, sort) -> pa.Table:
+        """TopDocs.merge analog: re-sort the union of per-segment top-k by the
+        global ordering (score desc / sort fields), docid-asc tiebreak."""
+        df = merged.to_pandas()
+        if sort:
+            by = [c for c, _, _ in sort] + ["docid"]
+            asc = [not d for _, d, _ in sort] + [True]
+            df = df.sort_values(by=by, ascending=asc, kind="mergesort")
+        else:
+            df = df.sort_values(by=["score", "docid"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+    def _execute_dedup(self, q, stats, start, stop, dedup_field, dedup_sort_field, cols):
+        """Exact dedup/grouping (Q11): per-segment per-key aggregates over ALL
+        matching docs, merged per key — group rank = best score in group
+        (ties min docid), representative = max dedup_sort_field (ties min
+        docid), duplicateCount + totalWithDuplicates like
+        DeDupFilterSuperCollector.java:66-79.  Unlike the reference there is
+        no overfetch-retry loop (Lucene.java:284-320): the aggregate already
+        sees every group, so pagination is exact by construction."""
+        import ray
+
+        parts = ray.get(
+            [
+                a.dedup_groups.remote(q, self.sim, stats, dedup_field, dedup_sort_field)
+                for a in self.actors
+            ]
+        )
+        df = pa.concat_tables(parts, promote_options="default").to_pandas()
+        if df.empty:
+            return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
+        total_with_dups = int(df["cnt"].sum())
+        # merge per key across segments
+        rank = (
+            df.sort_values(["key", "max_score", "rank_docid"], ascending=[True, False, True])
+            .drop_duplicates("key", keep="first")[["key", "max_score", "rank_docid"]]
+        )
+        rep = (
+            df.sort_values(["key", "best_sort", "repr_docid"], ascending=[True, False, True])
+            .drop_duplicates("key", keep="first")[["key", "repr_docid"]]
+        )
+        cnt = df.groupby("key", sort=False)["cnt"].sum().reset_index()
+        g = rank.merge(rep, on="key").merge(cnt, on="key")
+        g = g.sort_values(["max_score", "rank_docid"], ascending=[False, True])
+        total = len(g)
+        page = g.iloc[start:stop]
+        fetched = self.fetch(
+            page["repr_docid"].to_numpy(),
+            ["__id__", *[c for c in cols if c != dedup_field]],
+        )
+        out = page.rename(
+            columns={"max_score": "score", "cnt": "duplicateCount", "key": dedup_field}
+        )[[dedup_field, "score", "duplicateCount", "repr_docid"]].rename(
+            columns={"repr_docid": "docid"}
+        )
+        if fetched is not None:
+            out = out.merge(fetched.to_pandas(), on="docid", how="left")
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False), total, total_with_dups
+
+    def count(self, q) -> int:
+        import ray
+
+        stats = self._stats(q)
+        return sum(ray.get([a.count.remote(q, self.sim, stats) for a in self.actors]))
+
+    def collect_keys(self, q, key_col: str, size: int) -> np.ndarray:
+        """KeySuperCollector analog: OR-merged bitset over key values of
+        matching docs; returns bool[size]."""
+        import ray
+
+        stats = self._stats(q)
+        packed = ray.get(
+            [a.collect_keys.remote(q, self.sim, stats, key_col, size) for a in self.actors]
+        )
+        bs = np.zeros(size, dtype=bool)
+        for p in packed:
+            bs |= np.unpackbits(p, count=size).astype(bool)
+        return bs
+
+    def key_max_scores(self, q, key_col: str, size: int) -> np.ndarray:
+        """AggregateScoreSuperCollector input: per-key max score."""
+        import ray
+
+        stats = self._stats(q)
+        parts = ray.get(
+            [a.key_max_scores.remote(q, self.sim, stats, key_col, size) for a in self.actors]
+        )
+        return np.maximum.reduce(parts) if parts else np.zeros(size)
+
+    def prefix_search(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+        """prefixSearch / termsForField (Lucene.java:629-666): (term, df) pairs,
+        python-side re-sort by count desc (meresco/lucene/_lucene.py:132-142)."""
+        import ray
+
+        # scan the full prefix range per segment (cap only as a safety valve):
+        # truncating per-segment in term order would drop high-df terms that
+        # sort late, breaking the df-desc re-sort (meresco _lucene.py:132-142)
+        acc: dict[str, int] = {}
+        for part in ray.get([a.prefix_terms.remote(prefix, 100_000) for a in self.actors]):
+            for t, d in part.items():
+                acc[t] = acc.get(t, 0) + d
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+
+    def all_term_stats(self) -> dict[str, int]:
+        import ray
+
+        acc: dict[str, int] = {}
+        for part in ray.get([a.all_terms_stats.remote() for a in self.actors]):
+            for t, d in part.items():
+                acc[t] = acc.get(t, 0) + d
+        return acc
+
+    def num_docs(self) -> int:
+        return self.manifest.num_docs
+
+    def fetch(self, docids: Sequence[int], cols: Sequence[str]) -> pa.Table:
+        import ray
+
+        arr = np.asarray(docids, dtype=np.int64)
+        parts = [
+            t
+            for t in ray.get([a.fetch.remote(arr, cols) for a in self.actors])
+            if t is not None
+        ]
+        return pa.concat_tables(parts) if parts else None

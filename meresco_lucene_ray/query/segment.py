@@ -1,0 +1,415 @@
+"""Per-segment query evaluation (the unit a query actor holds in memory).
+
+One ``SegmentSearcher`` ≈ one Lucene segment + its SuperIndexSearcher slice
+(/root/reference/src/org/meresco/lucene/search/SuperIndexSearcher.java:50-111):
+it owns the decoded term dictionary and doc table of one doc shard and
+evaluates query ASTs densely over its local docid space [0, n).
+
+Evaluation model: every node returns ``(mask: bool[n], scores: float64[n])``.
+Dense per-segment accumulation is the vectorized analog of Lucene's
+per-segment scorers; n is bounded by the shard size the build chose
+(0.5–2 GB of corpus → ≲ a few million docs → a few MB of accumulator),
+so this holds at 100 TB scale where segments stay bounded and only their
+COUNT grows.  Block-max metadata (blk_last / blk_maxtf) is stored per
+posting list for conjunction skipping; the dense path decodes lazily per
+query term (only terms the query names are ever decoded).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import re
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..index.build import SHARD_BITS
+from ..index.codec import decode_postings, decode_positions, delta_decode, varint_decode
+from .ast import (
+    BoolQ,
+    DocValEqQ,
+    KeyFilterQ,
+    MatchAllQ,
+    PhraseQ,
+    PrefixQ,
+    RangeQ,
+    TermQ,
+    WildcardQ,
+)
+from .scorer import BM25
+
+# string sort sentinels, mirroring fieldregistry.py:168-236 missing-value handling
+MISSING_LAST = object()
+
+
+class SegmentSearcher:
+    def __init__(self, seg_dir: str):
+        post = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+        self.terms: list[str] = post["term"].to_pylist()
+        self.term_idx: dict[str, int] = {t: i for i, t in enumerate(self.terms)}
+        self.df = post["df"].to_numpy()
+        self.cf = post["cf"].to_numpy()
+        self._docs_buf = post["docs"].to_pylist()
+        self._tfs_buf = post["tfs"].to_pylist()
+        self.has_positions = "pos" in post.column_names
+        if self.has_positions:
+            self._pos_buf = post["pos"].to_pylist()
+            self._pos_offs = post["pos_offs"].to_pylist()
+        self.docs = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self.n = len(self.docs)
+        self.docid = self.docs["docid"].to_numpy()
+        self.base = int(self.docid[0]) >> SHARD_BITS << SHARD_BITS if self.n else 0
+        self.dl = self.docs["dl"].to_numpy().astype(np.float64)
+        self._col_cache: dict[str, np.ndarray] = {}
+        self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    # ---- raw access -----------------------------------------------------
+    def col(self, name: str) -> np.ndarray:
+        """Stored/docvalue column as numpy (string cols become object arrays)."""
+        arr = self._col_cache.get(name)
+        if arr is None:
+            a = self.docs[name]
+            if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+                arr = np.asarray(a.to_pylist(), dtype=object)
+            else:
+                arr = a.to_numpy(zero_copy_only=False)
+            self._col_cache[name] = arr
+        return arr
+
+    def postings_local(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(local doc indices int64, tf uint64) for a term; cached per searcher."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit
+        ti = self.term_idx.get(term)
+        if ti is None:
+            return None
+        docids, tfs = decode_postings(self._docs_buf[ti], self._tfs_buf[ti])
+        local = (docids - np.uint64(self.base)).astype(np.int64)
+        self._postings_cache[term] = (local, tfs)
+        return local, tfs
+
+    def positions_for(self, term: str, posting_rank: int) -> np.ndarray:
+        ti = self.term_idx[term]
+        offs = self._pos_offs[ti]
+        buf = self._pos_buf[ti]
+        return decode_positions(buf, int(offs[posting_rank]), int(offs[posting_rank + 1]))
+
+    def term_stats(self, terms: Sequence[str]) -> dict[str, int]:
+        return {t: int(self.df[self.term_idx[t]]) for t in terms if t in self.term_idx}
+
+    # ---- evaluation -----------------------------------------------------
+    def eval(self, q, sim: BM25, stats: dict) -> tuple[np.ndarray, np.ndarray]:
+        n = self.n
+        N, avgdl, dfs = stats["N"], stats["avgdl"], stats["df"]
+        if isinstance(q, MatchAllQ):
+            return np.ones(n, dtype=bool), np.full(n, q.boost)
+        if isinstance(q, TermQ):
+            mask = np.zeros(n, dtype=bool)
+            scores = np.zeros(n)
+            p = self.postings_local(q.term)
+            if p is not None:
+                idx, tf = p
+                mask[idx] = True
+                scores[idx] = sim.score(
+                    tf, self.dl[idx], N, dfs.get(q.term, 0), avgdl, q.boost
+                )
+            return mask, scores
+        if isinstance(q, PhraseQ):
+            return self._eval_phrase(q, sim, stats)
+        if isinstance(q, (PrefixQ, WildcardQ)):
+            mask = np.zeros(n, dtype=bool)
+            for t in self._expand_multiterm(q):
+                p = self.postings_local(t)
+                if p is not None:
+                    mask[p[0]] = True
+            scores = np.where(mask, q.boost, 0.0)
+            return mask, scores
+        if isinstance(q, RangeQ):
+            vals = self.col(q.col)
+            mask = _range_mask(vals, q)
+            return mask, np.where(mask, q.boost, 0.0)
+        if isinstance(q, DocValEqQ):
+            vals = self.col(q.col)
+            mask = vals == q.value
+            return mask, np.where(mask, q.boost, 0.0)
+        if isinstance(q, KeyFilterQ):
+            keys = self.col(q.key_col).astype(np.int64)
+            bs = np.asarray(q.bitset, dtype=bool)
+            valid = (keys >= 0) & (keys < bs.size)
+            mask = np.zeros(n, dtype=bool)
+            mask[valid] = bs[keys[valid]]
+            if q.inverted:
+                mask = ~mask
+            return mask, np.zeros(n)
+        if isinstance(q, BoolQ):
+            return self._eval_bool(q, sim, stats)
+        raise TypeError(f"unsupported query node: {type(q)!r}")
+
+    def _expand_multiterm(self, q) -> list[str]:
+        if isinstance(q, PrefixQ):
+            # term dict is sorted → binary-searchable range scan
+            import bisect
+
+            lo = bisect.bisect_left(self.terms, q.prefix)
+            out = []
+            for i in range(lo, len(self.terms)):
+                if not self.terms[i].startswith(q.prefix):
+                    break
+                out.append(self.terms[i])
+            return out
+        rx = re.compile(fnmatch.translate(q.pattern))
+        return [t for t in self.terms if rx.match(t)]
+
+    def _eval_phrase(self, q: PhraseQ, sim: BM25, stats: dict):
+        n = self.n
+        mask = np.zeros(n, dtype=bool)
+        scores = np.zeros(n)
+        plists = []
+        for t in q.terms:
+            p = self.postings_local(t)
+            if p is None:
+                return mask, scores
+            plists.append(p[0])
+        cand = plists[0]
+        for nxt in plists[1:]:
+            cand = cand[np.isin(cand, nxt, assume_unique=True)]
+        if cand.size == 0:
+            return mask, scores
+        if not self.has_positions:
+            raise RuntimeError("phrase query requires an index built with store_positions=True")
+        # rank of each candidate within each term's posting list (for position lookup)
+        ranks = [np.searchsorted(pl, cand) for pl in plists]
+        freqs = np.zeros(cand.size, dtype=np.int64)
+        for ci in range(cand.size):
+            pos = self.positions_for(q.terms[0], int(ranks[0][ci]))
+            live = pos
+            for k in range(1, len(q.terms)):
+                nxt = self.positions_for(q.terms[k], int(ranks[k][ci]))
+                live = live[np.isin(live + np.uint64(k), nxt, assume_unique=True)]
+                if live.size == 0:
+                    break
+            freqs[ci] = live.size
+        hit = freqs > 0
+        idx = cand[hit]
+        mask[idx] = True
+        # Lucene PhraseQuery: idf = sum of member-term idfs, tf = phrase freq
+        N, avgdl, dfs = stats["N"], stats["avgdl"], stats["df"]
+        idf_sum = float(
+            sum(np.log(1.0 + (N - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)) for t in q.terms)
+        )
+        from .scorer import bm25_tf_weight
+
+        if isinstance(sim, BM25):
+            scores[idx] = q.boost * idf_sum * bm25_tf_weight(
+                freqs[hit], self.dl[idx], avgdl, sim.k1, sim.b
+            )
+        else:
+            scores[idx] = sim.score(freqs[hit], self.dl[idx], N, 0, avgdl, q.boost)
+        return mask, scores
+
+    def _eval_bool(self, q: BoolQ, sim: BM25, stats: dict):
+        n = self.n
+        mask = None
+        scores = np.zeros(n)
+        for sub in q.must:
+            m, s = self.eval(sub, sim, stats)
+            mask = m if mask is None else (mask & m)
+            scores += s
+        for sub in q.filter:
+            m, _ = self.eval(sub, sim, stats)
+            mask = m if mask is None else (mask & m)
+        should_mask = None
+        for sub in q.should:
+            m, s = self.eval(sub, sim, stats)
+            should_mask = m if should_mask is None else (should_mask | m)
+            scores += s
+        if mask is None:
+            mask = should_mask if should_mask is not None else np.ones(n, dtype=bool)
+        for sub in q.must_not:
+            m, _ = self.eval(sub, sim, stats)
+            mask &= ~m
+        scores = np.where(mask, scores * q.boost, 0.0)
+        return mask, scores
+
+    # ---- collectors -----------------------------------------------------
+    def top_k(
+        self,
+        q,
+        k: int,
+        sim: BM25,
+        stats: dict,
+        sort_spec: list[tuple[str, bool, Any]] | None = None,
+        cols: Sequence[str] = (),
+    ) -> pa.Table:
+        """Per-segment top-k (TopScoreDocSuperCollector / TopFieldSuperCollector
+        analog). Ties broken by docid asc for determinism."""
+        mask, scores = self.eval(q, sim, stats)
+        # Lucene reports float32 scores (golden 0.13076457381248474 is the
+        # float32 rounding of the double BM25 value) — quantize BEFORE ranking
+        # so tie-breaks match the reference.
+        scores = scores.astype(np.float32).astype(np.float64)
+        idx = np.flatnonzero(mask)
+        total = idx.size
+        if total == 0:
+            return self._hits_table(idx, np.zeros(0), cols, total)
+        if sort_spec:
+            keys = []
+            for colname, desc, missing in reversed(sort_spec):
+                v = _sortable(self._sort_col(colname, scores), missing)
+                keys.append(_neg_for_desc(v[idx], desc))
+            keys.insert(0, idx)  # final tiebreak docid asc
+            order = np.lexsort(keys)
+        else:
+            order = np.lexsort((idx, -scores[idx]))
+        sel = idx[order[:k]]
+        return self._hits_table(sel, scores[sel], cols, total)
+
+    def _sort_col(self, name: str, scores: np.ndarray) -> np.ndarray:
+        if name == "score":
+            return scores
+        return self.col(name)
+
+    def _hits_table(self, idx: np.ndarray, scores: np.ndarray, cols, total: int) -> pa.Table:
+        data = {
+            "docid": pa.array(self.docid[idx]),
+            "__id__": self.docs["__id__"].take(pa.array(idx)).combine_chunks()
+            if idx.size
+            else pa.array([], type=pa.string()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+        for c in cols:
+            data[c] = self.docs[c].take(pa.array(idx)).combine_chunks() if idx.size else pa.array(
+                [], type=self.docs[c].type
+            )
+        t = pa.table(data)
+        return t.replace_schema_metadata({b"total": str(total).encode()})
+
+    def count(self, q, sim: BM25, stats: dict) -> int:
+        mask, _ = self.eval(q, sim, stats)
+        return int(mask.sum())
+
+    def facet_counts(self, q, sim: BM25, stats: dict, col: str) -> dict[Any, int]:
+        """Per-segment facet term counts (FacetSuperCollector analog:
+        per-slice count arrays merged by the engine)."""
+        mask, _ = self.eval(q, sim, stats)
+        vals = self.col(col)[mask]
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return {v: int(c) for v, c in zip(uniq.tolist(), cnt.tolist())}
+
+    def dedup_groups(
+        self, q, sim: BM25, stats: dict, key_col: str, sort_col: str | None
+    ) -> pa.Table:
+        """Per-key aggregates over ALL matching docs (DeDupFilterSuperCollector
+        analog, /root/reference/src/org/meresco/lucene/search/DeDupFilterSuperCollector.java:43-258):
+        for every dedup key seen: count, best-scoring doc (group rank) and the
+        representative = doc with max sort_col (ties → min docid)."""
+        mask, scores = self.eval(q, sim, stats)
+        scores = scores.astype(np.float32).astype(np.float64)  # float32 like Lucene
+        idx = np.flatnonzero(mask)
+        keys = self.col(key_col)[idx]
+        sc = scores[idx]
+        srt = self.col(sort_col)[idx].astype(np.float64) if sort_col else sc
+        uniq, inv = np.unique(keys, return_inverse=True)
+        g = len(uniq)
+        cnt = np.bincount(inv, minlength=g)
+        max_sc = np.full(g, -np.inf)
+        np.maximum.at(max_sc, inv, sc)
+        best_srt = np.full(g, -np.inf)
+        np.maximum.at(best_srt, inv, srt)
+        # argmax with min-docid tiebreak: order candidates by (inv, -val, docid)
+        did = self.docid[idx]
+        rank_doc = _argmax_per_group(inv, g, sc, did)
+        repr_doc = _argmax_per_group(inv, g, srt, did)
+        return pa.table(
+            {
+                "key": pa.array(uniq.tolist()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "max_score": pa.array(max_sc),
+                "rank_docid": pa.array(rank_doc),
+                "best_sort": pa.array(best_srt),
+                "repr_docid": pa.array(repr_doc),
+            }
+        )
+
+    def collect_keys(self, q, sim: BM25, stats: dict, key_col: str, size: int) -> np.ndarray:
+        """KeyCollector analog: bitset over key values of matching docs
+        (/root/reference/src/org/meresco/lucene/search/join/KeyCollector.java:37-78)."""
+        mask, _ = self.eval(q, sim, stats)
+        keys = self.col(key_col).astype(np.int64)[mask]
+        bs = np.zeros(size, dtype=bool)
+        keys = keys[(keys >= 0) & (keys < size)]
+        bs[keys] = True
+        return bs
+
+    def key_max_scores(self, q, sim: BM25, stats: dict, key_col: str, size: int) -> np.ndarray:
+        """ScoreSuperCollector analog: per-key max score array
+        (/root/reference/src/org/meresco/lucene/search/ScoreSuperCollector.java:96-140)."""
+        mask, scores = self.eval(q, sim, stats)
+        keys = self.col(key_col).astype(np.int64)
+        ok = mask & (keys >= 0) & (keys < size)
+        out = np.zeros(size, dtype=np.float64)
+        np.maximum.at(out, keys[ok], scores[ok])
+        return out
+
+    def prefix_terms(self, prefix: str, limit: int) -> tuple[list[str], np.ndarray]:
+        import bisect
+
+        lo = bisect.bisect_left(self.terms, prefix)
+        terms, dfs = [], []
+        for i in range(lo, len(self.terms)):
+            if not self.terms[i].startswith(prefix) or len(terms) >= limit:
+                break
+            terms.append(self.terms[i])
+            dfs.append(int(self.df[i]))
+        return terms, np.asarray(dfs, dtype=np.int64)
+
+    def fetch(self, docids: np.ndarray, cols: Sequence[str]) -> pa.Table:
+        local = (np.asarray(docids, dtype=np.int64) - self.base).astype(np.int64)
+        sel = pa.array(local)
+        data = {"docid": pa.array(np.asarray(docids, dtype=np.int64))}
+        for c in cols:
+            data[c] = self.docs[c].take(sel).combine_chunks()
+        return pa.table(data)
+
+
+def _argmax_per_group(inv: np.ndarray, g: int, val: np.ndarray, docid: np.ndarray) -> np.ndarray:
+    """For each group: docid of the row with max val (ties → min docid)."""
+    order = np.lexsort((docid, -val, inv))  # by group, then val desc, then docid asc
+    ginv = inv[order]
+    first = np.ones(ginv.size, dtype=bool)
+    first[1:] = ginv[1:] != ginv[:-1]
+    out = np.empty(g, dtype=np.int64)
+    out[ginv[first]] = docid[order][first]
+    return out
+
+
+def _range_mask(vals: np.ndarray, q: RangeQ) -> np.ndarray:
+    mask = np.ones(vals.shape, dtype=bool)
+    if q.lo is not None:
+        mask &= (vals >= q.lo) if q.include_lo else (vals > q.lo)
+    if q.hi is not None:
+        mask &= (vals <= q.hi) if q.include_hi else (vals < q.hi)
+    return mask
+
+
+def _sortable(v: np.ndarray, missing) -> np.ndarray:
+    """Convert to a numpy-sortable array, applying missing-value sentinels
+    (STRING_FIRST/LAST, JAVA_MAX_INT analogs — fieldregistry.py:168-236)."""
+    if v.dtype == object:
+        filled = np.asarray([("" if missing is None else str(missing)) if x is None else str(x) for x in v], dtype=object)
+        # np.lexsort can't take object; factorize to codes
+        uniq, codes = np.unique(filled, return_inverse=True)
+        return codes.astype(np.int64)
+    if np.issubdtype(v.dtype, np.floating):
+        fill = np.nan if missing is None else float(missing)
+        return np.nan_to_num(v, nan=(np.inf if missing is MISSING_LAST else (fill if missing is not None else np.inf)))
+    return v
+
+
+def _neg_for_desc(v: np.ndarray, desc: bool) -> np.ndarray:
+    return -v if desc else v
