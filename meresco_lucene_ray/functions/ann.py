@@ -1,0 +1,81 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix, per-batch partial top-k, tiny final merge (never a
+full sort of the corpus).  Scale path: LSH-bucketed variant — random
+hyperplane signatures prune the corpus to matching buckets before scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def brute_force_topk(ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", exclude_ids=()):
+    """Exact cosine top-k: per-batch matmul + partial top-k → driver merge.
+
+    Returns a pyarrow Table (id_col, cosine) sorted cosine desc, id asc."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    ref = ray.put(q)
+    excl = set(int(x) for x in exclude_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ qv
+        if excl:
+            keep = ~np.isin(ids, np.fromiter(excl, dtype=ids.dtype))
+            ids, sims = ids[keep], sims[keep]
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({id_col: pa.array(ids[order]), "cosine": pa.array(sims[order])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({id_col: pa.array([], type=pa.int64()), "cosine": pa.array([], type=pa.float64())})
+    ids = np.asarray([r[id_col] for r in parts])
+    sims = np.asarray([r["cosine"] for r in parts])
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table({id_col: pa.array(ids[order]), "cosine": pa.array(sims[order])})
+
+
+class LshBucketer:
+    """Random-hyperplane LSH signature per vector (the IVF/LSH scale path:
+    bucket once at ingest, probe only matching buckets at query time)."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 11, vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.vec_col = vec_col
+
+    def signature(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0
+        weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return (bits.astype(np.int64) * weights).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        return batch.append_column("lsh_bucket", pa.array(self.signature(mat)))
+
+
+def lsh_topk(ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", n_planes=8, seed=11):
+    """LSH-pruned cosine top-k: score only vectors in the query's bucket
+    (falls back to brute force if the bucket is smaller than k)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    bucketer = LshBucketer(q.size, n_planes, seed, vec_col)
+    qsig = int(bucketer.signature(q[None, :])[0])
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_args=(q.size, n_planes, seed, vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    candidates = bucketed.filter(expr=f"lsh_bucket == {qsig}")
+    if candidates.count() < k:
+        candidates = bucketed
+    return brute_force_topk(candidates, q, k, vec_col, id_col)

@@ -1,0 +1,201 @@
+"""Composed (multi-core) queries: key-bitset semi-joins across indexes.
+
+Re-expresses ``MultiLucene.executeComposedQuery``
+(/root/reference/src/org/meresco/lucene/MultiLucene.java:64-193) as an
+explicit DAG over per-core ``IndexSearcher``s:
+
+  stage 1  fan-out: collect key bitsets per other core (its query AND its
+           filter queries — MultiLucene.java:195-233), plus unite bitsets
+           (J4, :207-217) and exclude bitsets (J8, :235-252); rank queries
+           produce per-key max-score arrays (J5) quantized to 16 bits (our
+           float16 stands in for the reference's float1120 encoding,
+           Utils.java:138-159 — same width, not bit-identical).
+  stage 2  result-core query with the broadcast bitsets applied as
+           non-scoring KeyFilter clauses and the rank arrays blended into
+           scores: (1−r)·own + r·∏(1+other(key)).
+  stage 3  other-core facets filtered by the RESULT core's collected keys
+           (MultiLucene.java:157-176).
+
+All cross-core traffic is bitsets / small arrays through the object store —
+never document rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ..query.ast import BoolQ, KeyFilterQ, MatchAllQ
+from ..query.engine import IndexSearcher, SearchResult
+from .bitsets import KeyBits
+
+
+@dataclass
+class ComposedQuery:
+    """ComposedQuery analog (meresco/lucene/composedquery.py:58-299)."""
+
+    result_core: str
+    queries: dict[str, Any] = field(default_factory=dict)  # core -> query AST
+    filter_queries: dict[str, list] = field(default_factory=dict)
+    exclude_filter_queries: dict[str, list] = field(default_factory=dict)
+    # (coreA, coreB) -> (keyColA, keyColB); key values live in one numerated space
+    matches: dict[tuple[str, str], tuple[str, str]] = field(default_factory=dict)
+    unites: list[tuple[tuple[str, Any], tuple[str, Any]]] = field(default_factory=list)
+    rank_queries: dict[str, Any] = field(default_factory=dict)
+    rank_ratio: float = 0.5
+    facets: dict[str, list[str]] = field(default_factory=dict)
+    sort_by_other: tuple[str, str, bool] | None = None  # (other_core, col, desc)
+    start: int = 0
+    stop: int = 10
+    export_keys: bool = False
+
+    def key_col(self, core_x: str, core_y: str) -> str:
+        for (a, b), (ka, kb) in self.matches.items():
+            if (a, b) == (core_x, core_y):
+                return ka
+            if (b, a) == (core_x, core_y):
+                return kb
+        raise KeyError(f"no match registered between {core_x} and {core_y}")
+
+
+class MultiSearcher:
+    """MultiLucene analog: {coreName → IndexSearcher} + one numerated key space."""
+
+    def __init__(self, cores: dict[str, IndexSearcher], key_space: int):
+        self.cores = cores
+        self.key_space = key_space
+
+    def execute(self, cq: ComposedQuery) -> SearchResult:
+        result_core = cq.result_core
+        searcher = self.cores[result_core]
+        others = [c for c in self.cores if c != result_core]
+
+        active_others = [
+            c
+            for c in others
+            if c in cq.queries or cq.filter_queries.get(c) or c in cq.rank_queries
+            or cq.exclude_filter_queries.get(c) or cq.facets.get(c)
+        ]
+        if not active_others and not cq.unites:
+            # single-core shortcut (MultiLucene.java:68-73)
+            return searcher.execute(
+                cq.queries.get(result_core, MatchAllQ()),
+                start=cq.start,
+                stop=cq.stop,
+                facets=cq.facets.get(result_core, ()),
+            )
+
+        # ---- stage 1: collect filter bitsets from other cores
+        filter_bits: KeyBits | None = None
+        for core in others:
+            clauses = []
+            if core in cq.queries:
+                clauses.append(cq.queries[core])
+            clauses.extend(cq.filter_queries.get(core, ()))
+            if not clauses:
+                continue
+            q = clauses[0] if len(clauses) == 1 else BoolQ(must=tuple(clauses))
+            bits = KeyBits(
+                self.cores[core].collect_keys(q, cq.key_col(core, result_core), self.key_space)
+            )
+            filter_bits = bits if filter_bits is None else (filter_bits & bits)
+
+        for (core_u1, q1), (core_u2, q2) in cq.unites:
+            b1 = KeyBits(
+                self.cores[core_u1].collect_keys(q1, cq.key_col(core_u1, result_core), self.key_space)
+            )
+            b2 = KeyBits(
+                self.cores[core_u2].collect_keys(q2, cq.key_col(core_u2, result_core), self.key_space)
+            )
+            united = b1 | b2  # J4: max one unite, OR of the two (MultiLucene.java:207-217)
+            filter_bits = united if filter_bits is None else (filter_bits & united)
+
+        exclude_bits: KeyBits | None = None
+        for core in others:
+            for q in cq.exclude_filter_queries.get(core, ()):
+                bits = KeyBits(
+                    self.cores[core].collect_keys(q, cq.key_col(core, result_core), self.key_space)
+                )
+                exclude_bits = bits if exclude_bits is None else (exclude_bits | bits)
+
+        rank_arrays = []
+        for core, rq in cq.rank_queries.items():
+            if core == result_core:
+                continue
+            arr = self.cores[core].key_max_scores(rq, cq.key_col(core, result_core), self.key_space)
+            # 16-bit score quantization (float1120 stand-in, Utils.java:138-159)
+            rank_arrays.append(arr.astype(np.float16).astype(np.float64))
+
+        # ---- stage 2: result-core query with broadcast masks
+        result_key_col = None
+        for core in others:
+            try:
+                result_key_col = cq.key_col(result_core, core)
+                break
+            except KeyError:
+                continue
+        filters = []
+        if filter_bits is not None:
+            filters.append(KeyFilterQ(result_key_col, filter_bits.materialize()))
+        must_not = []
+        if exclude_bits is not None:
+            must_not.append(KeyFilterQ(result_key_col, exclude_bits.materialize()))
+        base_q = cq.queries.get(result_core, MatchAllQ())
+        final_q = (
+            base_q
+            if not filters and not must_not
+            else BoolQ(must=(base_q,), filter=tuple(filters), must_not=tuple(must_not))
+        )
+
+        rank_adjust = (
+            {"ratio": cq.rank_ratio, "key_col": result_key_col, "arrays": rank_arrays}
+            if rank_arrays
+            else None
+        )
+        join_cols = None
+        sort = None
+        if cq.sort_by_other:
+            other_core, col, desc = cq.sort_by_other
+            vals = self.cores[other_core].key_value_array(
+                cq.key_col(other_core, result_core), col, self.key_space
+            )
+            join_cols = {f"join_{col}": (result_key_col, vals, _missing_of(vals))}
+            sort = [(f"join_{col}", desc, None)]
+
+        res = searcher.execute(
+            final_q,
+            start=cq.start,
+            stop=cq.stop,
+            facets=cq.facets.get(result_core, ()),
+            rank_adjust=rank_adjust,
+            join_cols=join_cols,
+            sort=sort,
+        )
+
+        # ---- stage 3: other-core facets filtered by result keys
+        for core in others:
+            cols = cq.facets.get(core)
+            if not cols:
+                continue
+            result_keys = KeyBits(
+                searcher.collect_keys(final_q, result_key_col, self.key_space)
+            )
+            other_q = KeyFilterQ(cq.key_col(core, result_core), result_keys.materialize())
+            other_res = self.cores[core].execute(other_q, stop=0, facets=cols)
+            res.drilldown_data.update(
+                {f"{core}.{k}": v for k, v in other_res.drilldown_data.items()}
+            )
+
+        if cq.export_keys:
+            res.drilldown_data["__exported_keys__"] = KeyBits(
+                searcher.collect_keys(final_q, result_key_col, self.key_space)
+            )
+        return res
+
+
+def _missing_of(vals: np.ndarray):
+    if np.issubdtype(np.asarray(vals).dtype, np.number):
+        return np.iinfo(np.int64).max if np.issubdtype(vals.dtype, np.integer) else np.inf
+    return ""

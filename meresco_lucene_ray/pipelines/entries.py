@@ -1,0 +1,857 @@
+"""Driver-facing query entries: every operator exposed as a callable
+``(sf_dir) -> pyarrow.Table`` with (where SQL-expressible) an exactly
+mirrored DuckDB oracle statement.
+
+Design constraints the oracle gate imposes (see __ray_entry__.py):
+- column NAMES must match between engine result and SQL result;
+- the value hash is order-insensitive, but LIMIT cuts must select the same
+  rows: every top-k orders by the raw double score (bit-identical on both
+  sides — same formula, same operation order, same libm) with doc_id ASC
+  tie-break, then emits scores rounded via floor(x*1e4+0.5)/1e4 (the same
+  literal expression in SQL);
+- the engine runs with score_f32=False here so both sides stay in float64.
+
+The full-text entries run through the REAL index engine (build_index +
+IndexSearcher actor pool) over the ``documents`` table, cached per sf_dir.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis import SQL_TOKENIZE
+from ..index import IndexConfig, build_index
+from ..query import (
+    BoolQ,
+    DocValEqQ,
+    IndexSearcher,
+    MatchAllQ,
+    PhraseQ,
+    RangeQ,
+    TermQ,
+)
+
+K1, B = 0.9, 0.4
+_SEARCHERS: dict[str, IndexSearcher] = {}
+
+TOKS = SQL_TOKENIZE.format(col="text")
+
+# shared SQL prologue: tokenized documents + global stats (avgdl from an
+# exact integer token sum, like the engine's manifest sum_dl / num_docs)
+SQL_PROLOGUE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, n_chars, {TOKS} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         (SELECT sum(len(toks)) FROM tok)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM tok
+)
+"""
+
+
+def _round4_sql(expr: str) -> str:
+    return f"floor(({expr})*10000 + 0.5)/10000"
+
+
+def _round4(x: np.ndarray | float) -> np.ndarray | float:
+    return np.floor(np.asarray(x, dtype=np.float64) * 10000 + 0.5) / 10000
+
+
+def _round2_sql(expr: str) -> str:
+    return f"floor(({expr})*100 + 0.5)/100"
+
+
+def _round2(x) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 100 + 0.5) / 100
+
+
+def _tf_sql(term: str) -> str:
+    return f"len(list_filter(toks, x -> x = '{term}'))"
+
+
+def _score_sql(term: str, tf_alias: str, df_alias: str) -> str:
+    """BM25 per-term score with the engine's exact operation order."""
+    return (
+        f"ln(1 + (s.n - {df_alias} + 0.5)/({df_alias} + 0.5))"
+        f" * ({tf_alias}/({tf_alias} + {K1}*(1 - {B} + {B}*t.dl/s.avgdl)))"
+    )
+
+
+def _bm25_sql(terms: list[str], mode: str, k: int = 10, extra_where: str = "") -> str:
+    """Disjunctive (mode='or') / conjunctive (mode='and') BM25 top-k."""
+    tf_cols = ", ".join(f"{_tf_sql(t)} AS tf{i}" for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"(SELECT count(*)::DOUBLE FROM tf WHERE tf{i} > 0) AS df{i}" for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"(CASE WHEN t.tf{i} > 0 THEN {_score_sql(t, f't.tf{i}', f'd.df{i}')} ELSE 0 END)"
+        for i, t in enumerate(terms)
+    )
+    match = (
+        " OR ".join(f"t.tf{i} > 0" for i in range(len(terms)))
+        if mode == "or"
+        else " AND ".join(f"t.tf{i} > 0" for i in range(len(terms)))
+    )
+    where = f"({match})" + (f" AND {extra_where}" if extra_where else "")
+    return f"""{SQL_PROLOGUE},
+tf AS (SELECT doc_id, lang, len(toks) AS dl, {tf_cols} FROM tok),
+dfv AS (SELECT {df_cols})
+SELECT t.doc_id, {_round4_sql(score_terms)} AS score
+FROM tf t, stats s, dfv d
+WHERE {where}
+ORDER BY ({score_terms}) DESC, t.doc_id
+LIMIT {k}
+"""
+
+
+def _documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def get_searcher(sf_dir: str) -> IndexSearcher:
+    """Build (or reuse) the documents index for this sf_dir; cache searcher."""
+    s = _SEARCHERS.get(sf_dir)
+    if s is not None:
+        return s
+    import ray.data as rd
+
+    src = _documents_path(sf_dir)
+    key = hashlib.sha256(f"{os.path.abspath(src)}:{os.path.getmtime(src)}:v3".encode()).hexdigest()[:16]
+    idx_dir = os.path.join("/tmp", "mlr_idx_cache", key)
+    os.makedirs(idx_dir, exist_ok=True)
+    cfg = IndexConfig(
+        text_col="text",
+        id_col="doc_id",
+        stored_cols=("doc_id", "lang", "source", "n_chars", "nc_did"),
+        num_shards=4,
+        store_positions=True,
+        hash_content=True,
+        k1=K1,
+        b=B,
+    )
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        ds = rd.read_parquet(src)
+        # derived unique dedup-sort column: n_chars*100000 + doc_id (tie-free)
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "nc_did",
+                pa.array(
+                    t["n_chars"].to_numpy(zero_copy_only=False) * 100000
+                    + t["doc_id"].to_numpy(zero_copy_only=False)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        build_index(ds, idx_dir, cfg)
+    s = IndexSearcher(idx_dir, num_actors=4, score_f32=False, num_cpus=0.25)
+    _SEARCHERS[sf_dir] = s
+    return s
+
+
+def _topk_scores(searcher: IndexSearcher, q, k: int) -> pa.Table:
+    """Engine top-k re-ranked by (raw score desc, doc_id asc) — matching the
+    SQL ORDER BY — with round4 scores emitted."""
+    res = searcher.execute(q, stop=k + 50, stored_fields=("doc_id",))
+    doc_id = res.hits["doc_id"].to_numpy(zero_copy_only=False)
+    score = res.hits["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_id, -score))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[order].astype(np.int64)),
+            "score": pa.array(_round4(score[order])),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# full-text entries over `documents`
+# --------------------------------------------------------------------------
+
+def q_bm25_term(sf_dir: str) -> pa.Table:
+    return _topk_scores(get_searcher(sf_dir), TermQ("merge"), 10)
+
+
+def q_bm25_or(sf_dir: str) -> pa.Table:
+    q = BoolQ(should=(TermQ("merge"), TermQ("hash"), TermQ("spark")))
+    return _topk_scores(get_searcher(sf_dir), q, 10)
+
+
+def q_bm25_and(sf_dir: str) -> pa.Table:
+    q = BoolQ(must=(TermQ("window"), TermQ("vector")))
+    return _topk_scores(get_searcher(sf_dir), q, 10)
+
+
+def q_bm25_filter_lang(sf_dir: str) -> pa.Table:
+    q = BoolQ(must=(TermQ("merge"),), filter=(DocValEqQ("lang", "en"),))
+    return _topk_scores(get_searcher(sf_dir), q, 10)
+
+
+def q_phrase(sf_dir: str) -> pa.Table:
+    return _topk_scores(get_searcher(sf_dir), PhraseQ(("batch", "stream")), 10)
+
+
+def q_count_term(sf_dir: str) -> pa.Table:
+    total = get_searcher(sf_dir).count(TermQ("merge"))
+    return pa.table({"total": pa.array([total], type=pa.int64())})
+
+
+def q_bool_not_count(sf_dir: str) -> pa.Table:
+    q = BoolQ(must=(TermQ("merge"),), must_not=(TermQ("spark"),))
+    return pa.table({"total": pa.array([get_searcher(sf_dir).count(q)], type=pa.int64())})
+
+
+def q_facet_lang(sf_dir: str) -> pa.Table:
+    res = get_searcher(sf_dir).execute(MatchAllQ(), stop=0, facets=["lang"])
+    items = res.drilldown_data["lang"]
+    return pa.table(
+        {
+            "lang": pa.array(list(items.keys()), type=pa.string()),
+            "cnt": pa.array(list(items.values()), type=pa.int64()),
+        }
+    )
+
+
+def q_facet_source_term(sf_dir: str) -> pa.Table:
+    """Facet counts over matching docs only (drilldownData for a real query)."""
+    res = get_searcher(sf_dir).execute(TermQ("vector"), stop=0, facets=["source"])
+    items = res.drilldown_data["source"]
+    return pa.table(
+        {
+            "source": pa.array(list(items.keys()), type=pa.string()),
+            "cnt": pa.array(list(items.values()), type=pa.int64()),
+        }
+    )
+
+
+def q_sort_n_chars(sf_dir: str) -> pa.Table:
+    res = get_searcher(sf_dir).execute(
+        TermQ("data"),
+        stop=15,
+        sort=[("n_chars", True, None), ("doc_id", False, None)],
+        stored_fields=("doc_id", "n_chars"),
+    )
+    return pa.table(
+        {
+            "doc_id": res.hits["doc_id"],
+            "n_chars": res.hits["n_chars"],
+        }
+    )
+
+
+def q_range_n_chars(sf_dir: str) -> pa.Table:
+    q = BoolQ(must=(TermQ("data"),), filter=(RangeQ("n_chars", 100, 300, True, False),))
+    res = get_searcher(sf_dir).execute(q, stop=100000, stored_fields=("doc_id",))
+    ids = np.sort(res.hits["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    return pa.table({"doc_id": pa.array(ids)})
+
+
+def q_prefix_search(sf_dir: str) -> pa.Table:
+    got = get_searcher(sf_dir).prefix_search("sc", limit=10)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in got], type=pa.string()),
+            "df": pa.array([d for _, d in got], type=pa.int64()),
+        }
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (unit costs), equal to DuckDB's levenshtein."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_spell_suggest(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker analog (Lucene.java:804-816): terms within edit
+    distance ≤ 2 of the (misspelled) query term, most-frequent first."""
+    stats = get_searcher(sf_dir).all_term_stats()
+    cand = [
+        (t, df, _levenshtein(t, "mrge"))
+        for t, df in stats.items()
+        if abs(len(t) - 4) <= 2
+    ]
+    cand = [(t, df, d) for t, df, d in cand if d <= 2]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    cand = cand[:10]
+    return pa.table(
+        {
+            "term": pa.array([c[0] for c in cand], type=pa.string()),
+            "df": pa.array([c[1] for c in cand], type=pa.int64()),
+            "dist": pa.array([c[2] for c in cand], type=pa.int64()),
+        }
+    )
+
+
+def q_mlt_doc0(sf_dir: str) -> pa.Table:
+    """similarDocuments / MLT (Lucene.java:818-846): OR-query of doc 0's
+    distinct terms, MUST_NOT itself.  (Deviation: no CommonTermsQuery 0.1
+    max-term-frequency cutoff — all terms contribute.)"""
+    import pyarrow.parquet as pq
+
+    from ..analysis import tokenize
+
+    t = pq.read_table(_documents_path(sf_dir), columns=["doc_id", "text"])
+    row = t.filter(pa.compute.equal(t["doc_id"], 0))
+    terms = sorted(set(tokenize(row["text"][0].as_py())))
+    q = BoolQ(
+        should=tuple(TermQ(x) for x in terms),
+        must_not=(DocValEqQ("doc_id", 0),),
+    )
+    return _topk_scores(get_searcher(sf_dir), q, 10)
+
+
+def q_dedup_source(sf_dir: str) -> pa.Table:
+    """Dedup/grouping (Q11): group 'data' matches by source; representative =
+    max(nc_did) (n_chars, doc_id — tie-free by construction)."""
+    res = get_searcher(sf_dir).execute(
+        TermQ("data"),
+        stop=1000,
+        dedup_field="source",
+        dedup_sort_field="nc_did",
+        stored_fields=("doc_id",),
+    )
+    h = res.hits
+    return pa.table(
+        {
+            "source": h["source"],
+            "duplicate_count": pa.array(
+                h["duplicateCount"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ),
+            "doc_id": pa.array(h["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "score": pa.array(_round4(h["score"].to_numpy(zero_copy_only=False))),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# key joins over orders/customer (J1-J8 analogs on the TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def _customer_keyspace(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    return int(pa.compute.max(t["c_custkey"]).as_py()) + 1
+
+
+def _orders_grouped(sf_dir: str, bits, group_col: str) -> pa.Table:
+    """Filter orders by a custkey bitset (broadcast semi-join), then grouped
+    count + summed totalprice."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..join import semi_join_filter
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", group_col, "o_totalprice"],
+    )
+    filtered = semi_join_filter(orders, "o_custkey", bits)
+    out = (
+        filtered.groupby(group_col)
+        .aggregate(Count(alias_name="cnt"), Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    out["total_price"] = _round2(out["total_price"].to_numpy())
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return pa.Table.from_pandas(out[[group_col, "cnt", "total_price"]], preserve_index=False)
+
+
+def q_join_semi(sf_dir: str) -> pa.Table:
+    """J1+J2: collect custkeys of BUILDING customers (KeyCollector over the
+    'other core'), broadcast the bitset, filter orders (KeyFilter)."""
+    import ray.data as rd
+
+    from ..join import keys_of_dataset
+
+    size = _customer_keyspace(sf_dir)
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+    bits = keys_of_dataset(customer, "c_custkey", size)
+    return _orders_grouped(sf_dir, bits, "o_orderpriority")
+
+
+def q_join_anti(sf_dir: str) -> pa.Table:
+    """J8 exclude filter: orders whose customer is NOT in BUILDING."""
+    import ray.data as rd
+
+    from ..join import keys_of_dataset
+
+    size = _customer_keyspace(sf_dir)
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+    bits = ~keys_of_dataset(customer, "c_custkey", size)
+    return _orders_grouped(sf_dir, bits, "o_orderpriority")
+
+
+def q_join_unite(sf_dir: str) -> pa.Table:
+    """J4 unite: custkeys(BUILDING customers) OR custkeys(urgent orders),
+    applied to orders; counts per order status."""
+    import ray.data as rd
+
+    from ..join import keys_of_dataset
+
+    size = _customer_keyspace(sf_dir)
+    b1 = keys_of_dataset(
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+        ).filter(expr="c_mktsegment == 'BUILDING'"),
+        "c_custkey",
+        size,
+    )
+    b2 = keys_of_dataset(
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderpriority"]
+        ).filter(expr="o_orderpriority == '1-URGENT'"),
+        "o_custkey",
+        size,
+    )
+    return _orders_grouped(sf_dir, b1 | b2, "o_orderstatus")
+
+
+def q_rank_blend(sf_dir: str) -> pa.Table:
+    """J5 rank-query blending: own = o_totalprice/100000; other(custkey) =
+    c_acctbal/1000; blended = (1−r)*own + r*(1+other), r=0.4 — the
+    AggregateScoreSuperCollector formula with one other core."""
+    import ray
+    import ray.data as rd
+
+    size = _customer_keyspace(sf_dir)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    other = np.zeros(size)
+    other[cust["c_custkey"].to_numpy()] = cust["c_acctbal"].to_numpy() / 1000.0
+    ref = ray.put(other)
+
+    def score(batch: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        own = batch["o_totalprice"].to_numpy(zero_copy_only=False) / 100000.0
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        oth = np.zeros(len(batch))
+        ok = (keys >= 0) & (keys < arr.size)
+        oth[ok] = arr[keys[ok]]
+        blended = 0.6 * own + 0.4 * (1.0 + oth)
+        ids = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -blended))[:10]
+        return pa.table(
+            {"o_orderkey": pa.array(ids[order]), "score": pa.array(blended[order])}
+        )
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(score, batch_format="pyarrow")
+        .take_all()
+    )
+    ids = np.asarray([r["o_orderkey"] for r in parts])
+    sc = np.asarray([r["score"] for r in parts])
+    order = np.lexsort((ids, -sc))[:10]
+    return pa.table(
+        {"o_orderkey": pa.array(ids[order]), "score": pa.array(_round4(sc[order]))}
+    )
+
+
+def q_join_sort(sf_dir: str) -> pa.Table:
+    """J6 join-sort: orders sorted by the customer's name (a column living in
+    the 'other core'), via a broadcast key→value map."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    mapping = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    from ..join import broadcast_lookup_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    joined = broadcast_lookup_join(orders, "o_custkey", mapping, "c_name", default="")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["o_orderkey", "c_name"]).to_pandas()
+        df = df.sort_values(["c_name", "o_orderkey"]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(parts).sort_values(["c_name", "o_orderkey"]).head(20)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / ANN / text stats
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from ..functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    out["keep_id"] = out["keep_id"].astype(np.int64)
+    out["dup_count"] = out["dup_count"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import token_stats_batch
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "lang", "text"])
+    stats = ds.map_batches(token_stats_batch, batch_format="pyarrow")
+    out = (
+        stats.groupby("lang")
+        .aggregate(Count(alias_name="docs"), Sum("n_tokens", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    out["docs"] = out["docs"].astype(np.int64)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return pa.Table.from_pandas(out[["lang", "docs", "total_tokens"]], preserve_index=False)
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from ..functions.textstats import quality_batch
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(quality_batch, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "n_tokens", "stopword_ratio"]]
+    )
+    out["stopword_ratio"] = _round4(out["stopword_ratio"].to_numpy())
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.ann import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.asarray(emb.filter(pa.compute.equal(emb["vec_id"], 0))["embedding"][0].as_py())
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvec, k=10, exclude_ids=(0,))
+    return pa.table(
+        {
+            "vec_id": out["vec_id"],
+            "cosine": pa.array(_round4(out["cosine"].to_numpy())),
+        }
+    )
+
+
+def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from ..functions.dedup import embedding_neardup_pairs
+
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_neardup_pairs(ds, group_col="label", threshold=0.8)
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    df["cosine"] = _round4(df["cosine"].to_numpy())
+    df["id_a"] = df["id_a"].astype(np.int64)
+    df["id_b"] = df["id_b"].astype(np.int64)
+    return pa.Table.from_pandas(
+        df.sort_values(["id_a", "id_b"]).reset_index(drop=True), preserve_index=False
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only entries (no SQL-expressible oracle)
+# --------------------------------------------------------------------------
+
+def q_minhash_buckets(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from ..functions.dedup import minhash_lsh_candidates
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32, bands=8).to_pandas()
+    out = out[out["ids"].map(lambda x: isinstance(x, (list, np.ndarray)) and len(x) >= 2)]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def q_simhash(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from ..functions.dedup import SimHasher
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        SimHasher, fn_constructor_args=("text",), batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return out.select_columns(["doc_id", "simhash"]).to_pandas().pipe(
+        pa.Table.from_pandas, preserve_index=False
+    )
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from ..functions.textstats import LangId
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LangId, fn_constructor_args=("text",), batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return out.select_columns(["doc_id", "lang_pred"]).to_pandas().pipe(
+        pa.Table.from_pandas, preserve_index=False
+    )
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from ..functions.textstats import fingerprint_batch
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"]).to_pandas().pipe(
+        pa.Table.from_pandas, preserve_index=False
+    )
+
+
+def q_lsh_ann(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.ann import lsh_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.asarray(emb.filter(pa.compute.equal(emb["vec_id"], 0))["embedding"][0].as_py())
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    out = lsh_topk(ds, qvec, k=10)
+    return pa.table(
+        {"vec_id": out["vec_id"], "cosine": pa.array(_round4(out["cosine"].to_numpy()))}
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_QUALITY_SW_SQL = "['and','for','in','is','it','of','that','the','to','a']"
+
+ORACLES: dict[str, str] = {
+    "bm25_term": _bm25_sql(["merge"], "or"),
+    "bm25_or": _bm25_sql(["merge", "hash", "spark"], "or"),
+    "bm25_and": _bm25_sql(["window", "vector"], "and"),
+    "bm25_filter_lang": _bm25_sql(["merge"], "or", extra_where="t.lang = 'en'"),
+    "phrase": f"""{SQL_PROLOGUE},
+pos AS (
+  SELECT doc_id, toks, unnest(toks) AS w, generate_subscripts(toks, 1) AS o FROM tok
+),
+ph AS (
+  SELECT doc_id, sum(CASE WHEN w = 'batch' AND toks[o+1] = 'stream' THEN 1 ELSE 0 END)::DOUBLE AS tf
+  FROM pos GROUP BY doc_id
+),
+t AS (SELECT p.doc_id, p.tf, len(k.toks) AS dl FROM ph p JOIN tok k USING (doc_id)),
+dfs AS (
+  SELECT (SELECT count(*)::DOUBLE FROM tok WHERE list_contains(toks, 'batch')) AS df1,
+         (SELECT count(*)::DOUBLE FROM tok WHERE list_contains(toks, 'stream')) AS df2
+)
+SELECT t.doc_id,
+  {_round4_sql("(ln(1 + (s.n - d.df1 + 0.5)/(d.df1 + 0.5)) + ln(1 + (s.n - d.df2 + 0.5)/(d.df2 + 0.5))) * (t.tf/(t.tf + 0.9*(1 - 0.4 + 0.4*t.dl/s.avgdl)))")} AS score
+FROM t, stats s, dfs d
+WHERE t.tf > 0
+ORDER BY (ln(1 + (s.n - d.df1 + 0.5)/(d.df1 + 0.5)) + ln(1 + (s.n - d.df2 + 0.5)/(d.df2 + 0.5))) * (t.tf/(t.tf + 0.9*(1 - 0.4 + 0.4*t.dl/s.avgdl))) DESC, t.doc_id
+LIMIT 10
+""",
+    "count_term": f"""{SQL_PROLOGUE}
+SELECT count(*)::BIGINT AS total FROM tok WHERE list_contains(toks, 'merge')
+""",
+    "bool_not_count": f"""{SQL_PROLOGUE}
+SELECT count(*)::BIGINT AS total FROM tok
+WHERE list_contains(toks, 'merge') AND NOT list_contains(toks, 'spark')
+""",
+    "facet_lang": "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang",
+    "facet_source_term": f"""{SQL_PROLOGUE}
+SELECT source, count(*)::BIGINT AS cnt FROM tok WHERE list_contains(toks, 'vector') GROUP BY source
+""",
+    "sort_n_chars": f"""{SQL_PROLOGUE}
+SELECT doc_id, n_chars FROM tok WHERE list_contains(toks, 'data')
+ORDER BY n_chars DESC, doc_id LIMIT 15
+""",
+    "range_n_chars": f"""{SQL_PROLOGUE}
+SELECT doc_id FROM tok
+WHERE list_contains(toks, 'data') AND n_chars >= 100 AND n_chars < 300
+ORDER BY doc_id
+""",
+    "prefix_search": f"""{SQL_PROLOGUE},
+terms AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+SELECT term, count(*)::BIGINT AS df FROM terms WHERE term LIKE 'sc%'
+GROUP BY term ORDER BY df DESC, term LIMIT 10
+""",
+    "spell_suggest": f"""{SQL_PROLOGUE},
+terms AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM terms GROUP BY term)
+SELECT term, df, levenshtein(term, 'mrge')::BIGINT AS dist FROM dfs
+WHERE levenshtein(term, 'mrge') <= 2
+ORDER BY df DESC, term LIMIT 10
+""",
+    "mlt_doc0": f"""{SQL_PROLOGUE},
+q AS (SELECT unnest(list_distinct(toks)) AS term FROM tok WHERE doc_id = 0),
+posting AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM tok),
+tfs AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+  FROM posting GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term),
+scores AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5))
+             * (t.tf/(t.tf + 0.9*(1 - 0.4 + 0.4*t.dl/s.avgdl)))) AS score
+  FROM tfs t JOIN dfs d USING (term) JOIN q USING (term), stats s
+  WHERE t.doc_id <> 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id, {_round4_sql("score")} AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "dedup_source": f"""{SQL_PROLOGUE},
+m AS (
+  SELECT t.doc_id, t.source, t.n_chars,
+         (SELECT ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) FROM stats s,
+            (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(toks, 'data')) d)
+         * (len(list_filter(t.toks, x -> x = 'data'))::DOUBLE
+            / (len(list_filter(t.toks, x -> x = 'data'))::DOUBLE
+               + 0.9*(1 - 0.4 + 0.4*len(t.toks)/(SELECT avgdl FROM stats)))) AS score
+  FROM tok t WHERE list_contains(t.toks, 'data')
+),
+g AS (SELECT source, count(*)::BIGINT AS duplicate_count, max(score) AS gscore FROM m GROUP BY source),
+rep AS (
+  SELECT source, doc_id FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars*100000 + doc_id DESC) AS rn
+    FROM m
+  ) WHERE rn = 1
+)
+SELECT g.source, g.duplicate_count, rep.doc_id, {_round4_sql("g.gscore")} AS score
+FROM g JOIN rep USING (source)
+""",
+    "join_semi": f"""
+SELECT o_orderpriority, count(*)::BIGINT AS cnt, {_round2_sql("sum(o_totalprice)")} AS total_price
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""",
+    "join_anti": f"""
+SELECT o_orderpriority, count(*)::BIGINT AS cnt, {_round2_sql("sum(o_totalprice)")} AS total_price
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""",
+    "join_unite": f"""
+SELECT o_orderstatus, count(*)::BIGINT AS cnt, {_round2_sql("sum(o_totalprice)")} AS total_price
+FROM orders WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY o_orderstatus
+""",
+    "rank_blend": f"""
+SELECT o_orderkey,
+       {_round4_sql("0.6*(o_totalprice/100000) + 0.4*(1 + coalesce(c_acctbal/1000, 0))")} AS score
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+ORDER BY (0.6*(o_totalprice/100000) + 0.4*(1 + coalesce(c_acctbal/1000, 0))) DESC, o_orderkey
+LIMIT 10
+""",
+    "join_sort": """
+SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY c_name, o_orderkey LIMIT 20
+""",
+    "dedup_exact": """
+SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    "token_stats": f"""{SQL_PROLOGUE}
+SELECT lang, count(*)::BIGINT AS docs, sum(len(toks))::BIGINT AS total_tokens
+FROM tok GROUP BY lang
+""",
+    "quality": f"""{SQL_PROLOGUE}
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       {_round4_sql(f"len(list_filter(toks, x -> list_contains({_QUALITY_SW_SQL}, x)))::DOUBLE / greatest(len(toks), 1)::DOUBLE")} AS stopword_ratio
+FROM tok
+""",
+    "ann_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT e.vec_id,
+       floor(list_cosine_similarity(e.v, q.qv)*10000 + 0.5)/10000 AS cosine
+FROM e, q WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id LIMIT 10
+""",
+    "embedding_neardup": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       floor(list_cosine_similarity(a.v, b.v)*10000 + 0.5)/10000 AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+""",
+}
+
+QUERIES: dict[str, Callable[[str], pa.Table]] = {
+    "bm25_term": q_bm25_term,
+    "bm25_or": q_bm25_or,
+    "bm25_and": q_bm25_and,
+    "bm25_filter_lang": q_bm25_filter_lang,
+    "phrase": q_phrase,
+    "count_term": q_count_term,
+    "bool_not_count": q_bool_not_count,
+    "facet_lang": q_facet_lang,
+    "facet_source_term": q_facet_source_term,
+    "sort_n_chars": q_sort_n_chars,
+    "range_n_chars": q_range_n_chars,
+    "prefix_search": q_prefix_search,
+    "spell_suggest": q_spell_suggest,
+    "mlt_doc0": q_mlt_doc0,
+    "dedup_source": q_dedup_source,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_unite": q_join_unite,
+    "rank_blend": q_rank_blend,
+    "join_sort": q_join_sort,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    # rows-only (non-SQL-expressible) entries:
+    "minhash_lsh_buckets": q_minhash_buckets,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "lsh_ann_topk": q_lsh_ann,
+}

@@ -66,6 +66,12 @@ class _SegmentActorImpl:
                 out[v] = out.get(v, 0) + c
         return out
 
+    def dedup_groups(self, q, sim, stats, key_col, sort_col):
+        return pa.concat_tables(
+            [s.dedup_groups(q, sim, stats, key_col, sort_col) for s in self.searchers],
+            promote_options="default",
+        )
+
     def collect_keys(self, q, sim, stats, key_col, size):
         bs = np.zeros(size, dtype=bool)
         for s in self.searchers:
@@ -77,6 +83,14 @@ class _SegmentActorImpl:
         for s in self.searchers:
             np.maximum(out, s.key_max_scores(q, sim, stats, key_col, size), out=out)
         return out
+
+    def key_value_pairs(self, key_col, val_col):
+        ks, vs = [], []
+        for s in self.searchers:
+            k, v = s.key_value_pairs(key_col, val_col)
+            ks.append(k)
+            vs.append(v)
+        return np.concatenate(ks), np.concatenate(vs)
 
     def prefix_terms(self, prefix, limit):
         acc: dict[str, int] = {}
@@ -127,11 +141,13 @@ class IndexSearcher:
         num_actors: int | None = None,
         similarity: BM25 | None = None,
         num_cpus: float = 1.0,
+        score_f32: bool = True,
     ):
         import ray
 
         self.index_dir = index_dir
         self.manifest = IndexManifest.load(index_dir)
+        self.score_f32 = score_f32
         self.sim = similarity or BM25(
             k1=self.manifest.config.get("k1", 0.9), b=self.manifest.config.get("b", 0.4)
         )
@@ -153,7 +169,12 @@ class IndexSearcher:
             for part in ray.get([a.term_stats.remote(terms) for a in self.actors]):
                 for t, d in part.items():
                     dfs[t] = dfs.get(t, 0) + d
-        return {"N": self.manifest.num_docs, "avgdl": self.manifest.avgdl, "df": dfs}
+        return {
+            "N": self.manifest.num_docs,
+            "avgdl": self.manifest.avgdl,
+            "df": dfs,
+            "f32": self.score_f32,
+        }
 
     # ---- public API -----------------------------------------------------
     def execute(
@@ -166,16 +187,24 @@ class IndexSearcher:
         stored_fields: Sequence[str] = (),
         dedup_field: str | None = None,
         dedup_sort_field: str | None = None,
+        rank_adjust: dict | None = None,
+        join_cols: dict | None = None,
     ) -> SearchResult:
         """Single-core executeQuery (Lucene.java:253-342): top-k + facets +
-        dedup with the reference's overfetch-and-retry paging loop."""
+        dedup; ``rank_adjust`` blends other-core key scores (J5),
+        ``join_cols`` maps {name: (key_col, values_by_key, missing)} for
+        cross-core join sort (J6)."""
         import ray
 
         stats = self._stats(q)
+        if rank_adjust:
+            stats["rank_adjust"] = rank_adjust
+        if join_cols:
+            stats["join_cols"] = join_cols
         cols = list(dict.fromkeys(stored_fields))
         if sort:
             for c, _, _ in sort:
-                if c != "score" and c not in cols:
+                if c != "score" and c not in cols and c not in (join_cols or {}):
                     cols.append(c)
         if dedup_field:
             for c in (dedup_field, dedup_sort_field):
@@ -308,6 +337,25 @@ class IndexSearcher:
             [a.key_max_scores.remote(q, self.sim, stats, key_col, size) for a in self.actors]
         )
         return np.maximum.reduce(parts) if parts else np.zeros(size)
+
+    def key_value_array(self, key_col: str, val_col: str, size: int) -> np.ndarray:
+        """key → value array over the whole core (last write per key wins, by
+        ascending docid order across segments) — the join-sort source map."""
+        import ray
+
+        parts = ray.get([a.key_value_pairs.remote(key_col, val_col) for a in self.actors])
+        keys = np.concatenate([k for k, _ in parts])
+        vals = np.concatenate([v for _, v in parts])
+        sample = vals[0] if vals.size else 0
+        if isinstance(sample, str) or vals.dtype == object:
+            out = np.full(size, "", dtype=object)
+        elif np.issubdtype(vals.dtype, np.integer):
+            out = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
+        else:
+            out = np.full(size, np.inf, dtype=np.float64)
+        ok = keys < size
+        out[keys[ok]] = vals[ok]
+        return out
 
     def prefix_search(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
         """prefixSearch / termsForField (Lucene.java:629-666): (term, df) pairs,

@@ -249,29 +249,63 @@ class SegmentSearcher:
         """Per-segment top-k (TopScoreDocSuperCollector / TopFieldSuperCollector
         analog). Ties broken by docid asc for determinism."""
         mask, scores = self.eval(q, sim, stats)
+        adj = stats.get("rank_adjust")
+        if adj is not None:
+            # AggregateScoreSuperCollector blend (J5): newScore =
+            # (1−r)·ownScore + r·∏(1+otherScore(key))
+            # (/root/reference/src/org/meresco/lucene/search/AggregateScoreSuperCollector.java:39-165)
+            keys = self.col(adj["key_col"]).astype(np.int64)
+            prod = np.ones(self.n)
+            for arr in adj["arrays"]:
+                ok = (keys >= 0) & (keys < arr.size)
+                factor = np.ones(self.n)
+                factor[ok] = 1.0 + arr[keys[ok]]
+                prod *= factor
+            r = adj["ratio"]
+            scores = np.where(mask, (1.0 - r) * scores + r * prod, 0.0)
         # Lucene reports float32 scores (golden 0.13076457381248474 is the
         # float32 rounding of the double BM25 value) — quantize BEFORE ranking
-        # so tie-breaks match the reference.
-        scores = scores.astype(np.float32).astype(np.float64)
+        # so tie-breaks match the reference.  stats["f32"]=False keeps full
+        # doubles (used by the SQL-oracle-checked entry points).
+        if stats.get("f32", True):
+            scores = scores.astype(np.float32).astype(np.float64)
+        self._join_cols = stats.get("join_cols") or {}
         idx = np.flatnonzero(mask)
         total = idx.size
         if total == 0:
             return self._hits_table(idx, np.zeros(0), cols, total)
+        extra_cols = {}
         if sort_spec:
             keys = []
             for colname, desc, missing in reversed(sort_spec):
-                v = _sortable(self._sort_col(colname, scores), missing)
+                raw = self._sort_col(colname, scores)
+                if colname in getattr(self, "_join_cols", {}):
+                    extra_cols[colname] = raw  # carry joined values for the global merge
+                v = _sortable(raw, missing)
                 keys.append(_neg_for_desc(v[idx], desc))
             keys.insert(0, idx)  # final tiebreak docid asc
             order = np.lexsort(keys)
         else:
             order = np.lexsort((idx, -scores[idx]))
         sel = idx[order[:k]]
-        return self._hits_table(sel, scores[sel], cols, total)
+        t = self._hits_table(sel, scores[sel], cols, total)
+        for name, raw in extra_cols.items():
+            t = t.append_column(name, pa.array(raw[sel].tolist()))
+        return t
 
     def _sort_col(self, name: str, scores: np.ndarray) -> np.ndarray:
         if name == "score":
             return scores
+        jc = getattr(self, "_join_cols", {})
+        if name in jc:
+            # join sort (J6): map each doc's key through the broadcast
+            # key→sort_value array from the other core
+            key_col, values, missing = jc[name]
+            keys = self.col(key_col).astype(np.int64)
+            out = np.full(self.n, missing, dtype=np.asarray(values).dtype)
+            ok = (keys >= 0) & (keys < len(values))
+            out[ok] = np.asarray(values)[keys[ok]]
+            return out
         return self.col(name)
 
     def _hits_table(self, idx: np.ndarray, scores: np.ndarray, cols, total: int) -> pa.Table:
@@ -309,7 +343,8 @@ class SegmentSearcher:
         for every dedup key seen: count, best-scoring doc (group rank) and the
         representative = doc with max sort_col (ties → min docid)."""
         mask, scores = self.eval(q, sim, stats)
-        scores = scores.astype(np.float32).astype(np.float64)  # float32 like Lucene
+        if stats.get("f32", True):
+            scores = scores.astype(np.float32).astype(np.float64)  # float32 like Lucene
         idx = np.flatnonzero(mask)
         keys = self.col(key_col)[idx]
         sc = scores[idx]
@@ -355,6 +390,14 @@ class SegmentSearcher:
         out = np.zeros(size, dtype=np.float64)
         np.maximum.at(out, keys[ok], scores[ok])
         return out
+
+    def key_value_pairs(self, key_col: str, val_col: str) -> tuple[np.ndarray, np.ndarray]:
+        """(key, value) pairs of all docs (join-sort source side; JoinSortCollector
+        maps key→doc then chases the sort value — we extract the map directly)."""
+        keys = self.col(key_col).astype(np.int64)
+        vals = self.col(val_col)
+        ok = keys >= 0
+        return keys[ok], vals[ok]
 
     def prefix_terms(self, prefix: str, limit: int) -> tuple[list[str], np.ndarray]:
         import bisect
