@@ -1,0 +1,210 @@
+"""Headline benchmark: index-build throughput (files/s) + BM25 top-10 query
+latency on the synthetic source-code corpus (BASELINE.json metric), plus the
+entry pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "build": {...}, "query": {...}}
+
+--scaling: runs this script twice in fresh processes (RAY_GRAFT_CPUS=8 then
+32) on the same input and prints both throughputs + scaling efficiency —
+the sandbox substitute for the N vs 4N node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DOCS_PER_SF = 200_000  # sf0.1 -> 20k synthetic source files
+
+# mixed query set (single-term / boolean / phrase / prefix / filtered),
+# mirroring the reference query-set shape in FIXTURES.md F1
+QUERY_SET = (
+    [("term", t) for t in ["def", "import", "return", "lambda", "v100", "v999", "v5000", "static"]]
+    + [("and", ("def", "import")), ("and", ("class", "return")), ("and", ("v100", "v200"))]
+    + [("or", ("lambda", "yield", "v55")), ("or", ("public", "static", "void"))]
+    + [("phrase", ("def", "the")), ("phrase", ("import", "import"))]
+    + [("prefix", "v12"), ("prefix", "fn")]
+    + [("lang", ("def", "py")), ("lang", ("import", "java"))]
+)
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_parquet(n_docs: int) -> str:
+    """Synthesize (once, cached) the corpus to parquet; untimed."""
+    out = f"/tmp/mlr_bench/corpus_{n_docs}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    from meresco_lucene_ray.corpus import synthesize_corpus
+
+    shutil.rmtree(out, ignore_errors=True)
+    ds = synthesize_corpus(n_docs, seed=42, parallelism=max(NUM_CPUS, 8))
+    ds.write_parquet(out)
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+    return out
+
+
+def build_ast(kind, arg):
+    from meresco_lucene_ray.query import BoolQ, DocValEqQ, PhraseQ, PrefixQ, TermQ
+
+    if kind == "term":
+        return TermQ(arg)
+    if kind == "and":
+        return BoolQ(must=tuple(TermQ(t) for t in arg))
+    if kind == "or":
+        return BoolQ(should=tuple(TermQ(t) for t in arg))
+    if kind == "phrase":
+        return PhraseQ(arg)
+    if kind == "prefix":
+        return PrefixQ(arg)
+    if kind == "lang":
+        return BoolQ(must=(TermQ(arg[0]),), filter=(DocValEqQ("lang", arg[1]),))
+    raise ValueError(kind)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    from meresco_lucene_ray.index import IndexConfig, build_index
+    from meresco_lucene_ray.query import IndexSearcher
+
+    sf = sf_of(SF_DIR)
+    n_docs = max(int(DOCS_PER_SF * sf), 500)
+    corpus_dir = corpus_parquet(n_docs)
+    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
+    rd.read_parquet(corpus_dir).count()
+
+    idx_dir = f"/tmp/mlr_bench/index_{n_docs}_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(
+        text_col="content",
+        id_from=("repo", "path", "commit"),
+        stored_cols=("lang", "repo"),
+        num_shards=max(NUM_CPUS, 8),
+        store_positions=True,
+        hash_content=True,
+    )
+    t0 = time.time()
+    manifest = build_index(rd.read_parquet(corpus_dir), idx_dir, cfg)
+    build_sec = time.time() - t0
+    files_per_sec = n_docs / build_sec
+
+    searcher = IndexSearcher(idx_dir, num_actors=max(NUM_CPUS // 2, 2), num_cpus=1)
+    asts = [build_ast(k, a) for k, a in QUERY_SET]
+    # warm the actors (load segments) untimed
+    searcher.execute(asts[0], stop=10)
+    lat = []
+    t0 = time.time()
+    rounds = 3
+    for _ in range(rounds):
+        for q in asts:
+            tq = time.time()
+            searcher.execute(q, stop=10)
+            lat.append(time.time() - tq)
+    query_sec = time.time() - t0
+    qps = len(lat) / query_sec
+    p50_ms = statistics.median(lat) * 1000
+    p90_ms = sorted(lat)[int(len(lat) * 0.9)] * 1000
+
+    # entry pipelines over the sf tables (a subset that exercises shuffle,
+    # broadcast join, dedup and ANN paths)
+    from meresco_lucene_ray.pipelines import entries as E
+
+    queries = {"index_build": round(build_sec, 3), "bm25_query_set": round(query_sec, 3)}
+    for name in ("join_semi", "dedup_exact", "token_stats", "ann_topk", "minhash_lsh_buckets"):
+        tq = time.time()
+        E.QUERIES[name](SF_DIR)
+        queries[name] = round(time.time() - tq, 3)
+
+    total = sum(queries.values())
+    result = {
+        "metric": "index-build files/s + BM25 top-10 latency + entry pipelines",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "build": {
+            "n_docs": n_docs,
+            "sec": round(build_sec, 3),
+            "files_per_sec": round(files_per_sec, 1),
+            "num_segments": len(manifest.segments),
+            "num_terms": manifest.metrics.get("num_terms_global"),
+        },
+        "query": {
+            "n_queries": len(lat),
+            "qps": round(qps, 1),
+            "p50_ms": round(p50_ms, 2),
+            "p90_ms": round(p90_ms, 2),
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    # throughput scaling on the build (the wide, shuffling stage)
+    tp_lo = lo["build"]["files_per_sec"]
+    tp_hi = hi["build"]["files_per_sec"]
+    eff_build = (tp_hi / tp_lo) / (32 / 8)
+    eff_total = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "build_files_per_sec_8": tp_lo,
+                "build_files_per_sec_32": tp_hi,
+                "scaling_efficiency_build": round(eff_build, 3),
+                "scaling_efficiency_total": round(eff_total, 3),
+                "qps_8": lo["query"]["qps"],
+                "qps_32": hi["query"]["qps"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

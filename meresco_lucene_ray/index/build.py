@@ -45,8 +45,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis import tokenize_batch, token_positions
-from .codec import encode_postings, encode_position_lists
+from ..analysis import tokenize_batch
+from .codec import encode_segment_positions, encode_segment_postings
 from .manifest import IndexManifest, SegmentInfo
 
 SHARD_BITS = 40  # docid = (shard << SHARD_BITS) | local_rank
@@ -94,28 +94,57 @@ class TokenizeStage:
             parts = [batch[c].to_pylist() for c in cfg.id_from]
             ids = [":".join(str(v) for v in row) for row in zip(*parts)]
         toks = tokenize_batch(texts)
-        dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=len(toks))
+        ndocs = len(toks)
+        dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=ndocs)
 
-        uniq_terms: list[list[str]] = []
-        tfs: list[list[int]] = []
-        poss: list[list[list[int]]] = []
-        for tlist in toks:
-            pos = token_positions(tlist)
-            terms = sorted(pos)
-            uniq_terms.append(terms)
-            tfs.append([len(pos[t]) for t in terms])
-            if cfg.store_positions:
-                poss.append([pos[t] for t in terms])
+        # batch-global vectorized (doc, term, positions) aggregation:
+        # flatten all tokens, one np.unique, one lexsort — no per-doc loops
+        from itertools import chain
+
+        flat = np.array(list(chain.from_iterable(toks)), dtype=object)
+        lengths = dl.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+        pos_in_doc = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lengths)
+        if flat.size:
+            import pandas as pd
+
+            inv, uniques = pd.factorize(flat, sort=False)
+            uniq = np.asarray(uniques, dtype=object)
+            order = np.lexsort((pos_in_doc, inv, doc_idx))
+            di, ti, pi = doc_idx[order], inv[order], pos_in_doc[order]
+            run_start = np.ones(di.size, dtype=bool)
+            run_start[1:] = (di[1:] != di[:-1]) | (ti[1:] != ti[:-1])
+            run_ids = np.flatnonzero(run_start)
+            run_bounds = np.concatenate((run_ids, [di.size]))
+            run_tf = np.diff(run_bounds).astype(np.int32)
+            runs_per_doc = np.bincount(di[run_ids], minlength=ndocs)
+        else:
+            uniq = np.empty(0, dtype=object)
+            run_ids = np.empty(0, dtype=np.int64)
+            run_bounds = np.zeros(1, dtype=np.int64)
+            run_tf = np.empty(0, dtype=np.int32)
+            runs_per_doc = np.zeros(ndocs, dtype=np.int64)
+            ti = np.empty(0, dtype=np.int64)
+            pi = np.empty(0, dtype=np.int64)
+
+        outer_off = np.concatenate(([0], np.cumsum(runs_per_doc))).astype(np.int32)
+        term_values = pa.array(uniq[ti[run_ids]].tolist() if run_ids.size else [], type=pa.string())
+        terms_col = pa.ListArray.from_arrays(pa.array(outer_off), term_values)
+        tfs_col = pa.ListArray.from_arrays(pa.array(outer_off), pa.array(run_tf))
 
         cols: dict[str, Any] = {
             "__id__": pa.array(ids, type=pa.string()),
             "shard": pa.array(_shard_of(ids, cfg.num_shards)),
             "dl": pa.array(dl),
-            "terms": pa.array(uniq_terms, type=pa.list_(pa.string())),
-            "tfs": pa.array(tfs, type=pa.list_(pa.int32())),
+            "terms": terms_col,
+            "tfs": tfs_col,
         }
         if cfg.store_positions:
-            cols["positions"] = pa.array(poss, type=pa.list_(pa.list_(pa.int32())))
+            inner = pa.ListArray.from_arrays(
+                pa.array(run_bounds.astype(np.int32)), pa.array(pi.astype(np.int32))
+            )
+            cols["positions"] = pa.ListArray.from_arrays(pa.array(outer_off), inner)
         if cfg.hash_content:
             cols["content_sha256"] = pa.array(
                 [hashlib.sha256((t or "").encode()).hexdigest() for t in texts],
@@ -168,64 +197,75 @@ class SegmentBuilder:
         # ---- flatten per-doc term lists, vectorized posting construction
         terms_col = group["terms"].combine_chunks()
         tfs_col = group["tfs"].combine_chunks()
-        flat_terms = np.asarray(terms_col.flatten().to_pylist(), dtype=object)
-        flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        lengths = np.asarray(
-            [len(terms_col[i]) if terms_col[i].is_valid else 0 for i in range(len(terms_col))],
-            dtype=np.int64,
-        )
+        t_offsets = terms_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(t_offsets)
+        flat_terms = terms_col.values.to_numpy(zero_copy_only=False)
+        flat_tfs = tfs_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
 
-        uniq, term_ids = np.unique(flat_terms, return_inverse=True)
-        # per-doc term lists are sorted, docs are in docid order → lexsort by (term, doc)
+        # hash-factorize term strings (O(n), no string sort), then rank-remap
+        # codes so the term dictionary comes out lexicographically sorted
+        # (the searcher's prefix scan bisects the sorted term column)
+        import pandas as pd
+
+        codes, uniques = pd.factorize(flat_terms, sort=False)
+        uniq_arr = np.asarray(uniques, dtype=object)
+        rank_order = np.argsort(uniq_arr)
+        rank = np.empty(rank_order.size, dtype=np.int64)
+        rank[rank_order] = np.arange(rank_order.size)
+        term_ids = rank[codes]
+        uniq = uniq_arr[rank_order]
+
         sort = np.lexsort((doc_idx, term_ids))
         t_sorted = term_ids[sort]
         d_sorted = doc_idx[sort]
         tf_sorted = flat_tfs[sort]
-        bounds = np.concatenate(([0], np.flatnonzero(t_sorted[1:] != t_sorted[:-1]) + 1, [t_sorted.size]))
+        if t_sorted.size:
+            term_starts = np.concatenate(
+                ([0], np.flatnonzero(t_sorted[1:] != t_sorted[:-1]) + 1)
+            ).astype(np.int64)
+        else:
+            term_starts = np.zeros(0, dtype=np.int64)
+        bounds = np.concatenate((term_starts, [t_sorted.size])).astype(np.int64)
 
-        pos_lists = None
+        rows_term = uniq.tolist()
+        rows_df = np.diff(bounds).astype(np.int64)
+        rows_cf = np.add.reduceat(tf_sorted, bounds[:-1]).astype(np.int64) if t_sorted.size else np.zeros(0, dtype=np.int64)
+
+        # one vectorized encode pass for the whole segment's postings
+        docs_col, tfs_col_enc, blk_last, blk_maxtf = encode_segment_postings(
+            term_starts, docids_global[d_sorted], tf_sorted
+        )
+
+        pos_col, pos_offs = None, None
         if cfg.store_positions:
             pcol = group["positions"].combine_chunks()
-            pos_lists = pcol.to_pylist()  # per doc: list of per-term position lists
-
-        rows_term, rows_df, rows_cf = [], [], []
-        docs_bufs, tfs_bufs, blk_last, blk_maxtf = [], [], [], []
-        pos_bufs, pos_offs = [], []
-        # term-local index of each flat entry (position list lookup)
-        term_ordinal_in_doc = _term_ordinals(lengths)
-        ord_sorted = term_ordinal_in_doc[sort]
-        for ti in range(len(uniq)):
-            lo, hi = bounds[ti], bounds[ti + 1]
-            dlocal = d_sorted[lo:hi]
-            docs = docids_global[dlocal]
-            tfs = tf_sorted[lo:hi]
-            db, tb, bl, bm = encode_postings(docs, tfs)
-            rows_term.append(uniq[ti])
-            rows_df.append(hi - lo)
-            rows_cf.append(int(tfs.sum()))
-            docs_bufs.append(db)
-            tfs_bufs.append(tb)
-            blk_last.append(bl)
-            blk_maxtf.append(bm)
-            if cfg.store_positions:
-                plists = [pos_lists[dlocal[j]][ord_sorted[lo + j]] for j in range(hi - lo)]
-                pb, po = encode_position_lists(plists)
-                pos_bufs.append(pb)
-                pos_offs.append(po)
+            inner = pcol.values  # list<int32> per (doc, term) posting, doc-major order
+            inner_off = inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            inner_vals = inner.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            inner_len = np.diff(inner_off)
+            # gather position spans into (term, doc) posting order
+            L = inner_len[sort]
+            out_starts = np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+            total = int(L.sum())
+            gather = np.repeat(inner_off[:-1][sort], L) + (
+                np.arange(total, dtype=np.int64) - np.repeat(out_starts, L)
+            )
+            positions_flat = inner_vals[gather]
+            pos_col, pos_offs = encode_segment_positions(bounds, positions_flat, out_starts)
 
         post_cols = {
-            "term": pa.array(list(rows_term), type=pa.string()),
+            "term": pa.array(rows_term, type=pa.string()),
             "df": pa.array(rows_df, type=pa.int64()),
             "cf": pa.array(rows_cf, type=pa.int64()),
-            "docs": pa.array(docs_bufs, type=pa.large_binary()),
-            "tfs": pa.array(tfs_bufs, type=pa.large_binary()),
-            "blk_last": pa.array([b.tolist() for b in blk_last], type=pa.list_(pa.int64())),
-            "blk_maxtf": pa.array([b.tolist() for b in blk_maxtf], type=pa.list_(pa.int32())),
+            "docs": docs_col,
+            "tfs": tfs_col_enc,
+            "blk_last": blk_last,
+            "blk_maxtf": blk_maxtf,
         }
         if cfg.store_positions:
-            post_cols["pos"] = pa.array(pos_bufs, type=pa.large_binary())
-            post_cols["pos_offs"] = pa.array([o.tolist() for o in pos_offs], type=pa.list_(pa.int64()))
+            post_cols["pos"] = pos_col
+            post_cols["pos_offs"] = pos_offs
         postings = pa.table(post_cols)
 
         doc_cols = {
@@ -249,15 +289,6 @@ class SegmentBuilder:
                 "shard": pa.array(np.full(len(rows_term), shard, dtype=np.int32)),
             }
         )
-
-
-def _term_ordinals(lengths: np.ndarray) -> np.ndarray:
-    """For flattened per-doc lists: ordinal of each entry within its doc."""
-    total = int(lengths.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
 def _segment_complete(seg_dir: str, fingerprint: str) -> bool:
@@ -299,16 +330,32 @@ def build_index(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexMani
     def build_segment(group: pa.Table) -> pa.Table:
         return builder(group)
 
-    term_rows = tokenized.groupby("shard").map_groups(build_segment, batch_format="pyarrow")
-    # global term stats: groupby(term)-aggregate shuffle over per-segment rows
-    stats = term_rows.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
-    )
-    stats_table = stats.sort("term").to_arrow_refs()
-    import ray as _ray
+    term_rows = tokenized.groupby("shard").map_groups(
+        build_segment, batch_format="pyarrow"
+    ).materialize()
+    # global term stats = groupby(term)-aggregate over per-segment rows.
+    # The rows are ALREADY per-segment combined (one row per distinct term per
+    # segment), so their count is tiny relative to the corpus; below a
+    # threshold a driver-side arrow groupby beats a Ray all-to-all by ~15s of
+    # fixed shuffle overhead.  Past it (huge vocabularies), shuffle properly.
+    n_term_rows = term_rows.count()
+    if n_term_rows <= 5_000_000:
+        import ray as _ray
 
-    stats_tables = [t for t in _ray.get(stats_table)]
-    merged = pa.concat_tables(stats_tables) if stats_tables else pa.table({"term": [], "df": [], "cf": []})
+        parts = pa.concat_tables(_ray.get(term_rows.to_arrow_refs()))
+        merged = (
+            parts.group_by("term")
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .rename_columns(["term", "df", "cf"])
+            .sort_by("term")
+        )
+    else:
+        stats = term_rows.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+        )
+        import ray as _ray
+
+        merged = pa.concat_tables(_ray.get(stats.sort("term").to_arrow_refs()))
     pq.write_table(merged, os.path.join(index_dir, "termstats.parquet"))
 
     # assemble manifest from segment dirs

@@ -22,6 +22,36 @@ import numpy as np
 BLOCK_SIZE = 128  # postings per skip block
 
 
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array, returning (buffer, bytes-per-value).
+
+    The sizes array lets callers slice one big buffer into per-term /
+    per-posting spans without re-encoding — the segment builder encodes a
+    whole segment's postings in O(max_bytes) numpy passes total.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    shifted = v >> np.uint64(7)
+    while True:
+        mask = shifted > 0
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+        shifted = shifted >> np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    maxb = int(nbytes.max())
+    for k in range(maxb):
+        mask = nbytes > k
+        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = byte.astype(np.uint8) | cont
+    return out.tobytes(), nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode an array of non-negative ints, vectorized.
 
@@ -106,6 +136,115 @@ def decode_postings(docs_buf: bytes, tfs_buf: bytes) -> tuple[np.ndarray, np.nda
     docids = delta_decode(gaps)
     tfs = varint_decode(tfs_buf)
     return docids, tfs
+
+
+def grouped_delta(values: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Delta-encode within groups of one concatenated sorted array: each
+    group's first value stays absolute, the rest become gaps."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    g = np.empty_like(v)
+    g[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=g[1:])
+    g[group_starts] = v[group_starts]
+    return g
+
+
+def _spans_to_large_binary(buf: bytes, byte_offsets: np.ndarray) -> "object":
+    """Zero-copy LargeBinaryArray: value i = buf[byte_offsets[i]:byte_offsets[i+1]]."""
+    import pyarrow as pa
+
+    n = byte_offsets.size - 1
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(byte_offsets.astype(np.int64).tobytes()), pa.py_buffer(buf)],
+    )
+
+
+def _segments_arange(bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For consecutive runs given by ``bounds`` (n+1), return (run_of_item,
+    index_within_run) for every item — the repeat/arange idiom."""
+    lengths = np.diff(bounds)
+    total = int(lengths.sum())
+    run_of = np.repeat(np.arange(lengths.size), lengths)
+    within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], lengths)
+    return run_of, within
+
+
+def encode_segment_postings(term_starts: np.ndarray, docids: np.ndarray, tfs: np.ndarray):
+    """Encode ALL of a segment's postings — zero per-term Python loops.
+
+    ``term_starts``: start index of each term's run in the (term, docid)-
+    sorted ``docids``/``tfs`` arrays.
+    Returns arrow arrays: (docs large_binary, tfs large_binary,
+    blk_last list<int64>, blk_maxtf list<int32>) — one row per term.
+    """
+    import pyarrow as pa
+
+    docids = np.asarray(docids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    bounds = np.concatenate((term_starts, [docids.size])).astype(np.int64)
+    gaps = grouped_delta(docids, term_starts.astype(np.int64))
+    docs_all, docs_nb = varint_encode_with_sizes(gaps)
+    tfs_all, tfs_nb = varint_encode_with_sizes(tfs)
+    docs_off = np.concatenate(([0], np.cumsum(docs_nb)))
+    tfs_off = np.concatenate(([0], np.cumsum(tfs_nb)))
+    docs_col = _spans_to_large_binary(docs_all, docs_off[bounds])
+    tfs_col = _spans_to_large_binary(tfs_all, tfs_off[bounds])
+
+    # block metadata, globally vectorized: per-term chunks of BLOCK_SIZE
+    n_per_term = np.diff(bounds)
+    nblocks = (n_per_term + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_bounds = np.concatenate(([0], np.cumsum(nblocks))).astype(np.int64)
+    term_of_blk, blk_within = _segments_arange(blk_bounds)
+    starts_g = bounds[:-1][term_of_blk] + blk_within * BLOCK_SIZE
+    ends_g = np.minimum(starts_g + BLOCK_SIZE, bounds[1:][term_of_blk])
+    last_doc = docids[ends_g - 1].astype(np.int64) if starts_g.size else np.zeros(0, np.int64)
+    maxtf = (
+        np.maximum.reduceat(tfs, starts_g).astype(np.int32)
+        if starts_g.size
+        else np.zeros(0, np.int32)
+    )
+    blk_last = pa.ListArray.from_arrays(pa.array(blk_bounds.astype(np.int32)), pa.array(last_doc))
+    blk_maxtf = pa.ListArray.from_arrays(pa.array(blk_bounds.astype(np.int32)), pa.array(maxtf))
+    return docs_col, tfs_col, blk_last, blk_maxtf
+
+
+def encode_segment_positions(
+    term_posting_bounds: np.ndarray,
+    positions_flat: np.ndarray,
+    posting_starts: np.ndarray,
+):
+    """Encode ALL position lists of a segment — zero per-term Python loops.
+
+    ``positions_flat``: concatenation of every posting's position list in
+    (term, docid) order; ``posting_starts``: start index of each posting's
+    span; ``term_posting_bounds``: posting-index bounds per term (n_terms+1).
+    Returns arrow arrays: (pos large_binary, pos_offs list<int64> with
+    per-term-relative byte offsets, one entry per posting + 1)."""
+    import pyarrow as pa
+
+    gaps = grouped_delta(positions_flat, posting_starts.astype(np.int64))
+    buf_all, nb = varint_encode_with_sizes(gaps)
+    byte_off = np.concatenate(([0], np.cumsum(nb)))
+    posting_bounds = np.concatenate((posting_starts, [positions_flat.size]))
+    posting_byte = byte_off[posting_bounds]  # byte offset at each posting boundary
+
+    tb = term_posting_bounds.astype(np.int64)
+    pos_col = _spans_to_large_binary(buf_all, posting_byte[tb])
+
+    # per-term offsets arrays: for term t, posting_byte[lo..hi] - posting_byte[lo]
+    lens = np.diff(tb) + 1  # n_postings + 1 entries per term
+    offs_bounds = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    term_of, within = _segments_arange(offs_bounds)
+    gather = tb[:-1][term_of] + within
+    rel = posting_byte[gather] - posting_byte[tb[:-1]][term_of]
+    pos_offs = pa.ListArray.from_arrays(
+        pa.array(offs_bounds.astype(np.int32)), pa.array(rel.astype(np.int64))
+    )
+    return pos_col, pos_offs
 
 
 def encode_position_lists(position_lists: list[np.ndarray | list[int]]) -> tuple[bytes, np.ndarray]:
