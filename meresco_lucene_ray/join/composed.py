@@ -103,11 +103,21 @@ class MultiSearcher:
             filter_bits = bits if filter_bits is None else (filter_bits & bits)
 
         for (core_u1, q1), (core_u2, q2) in cq.unites:
+            def _unite_key_col(core: str, partner: str) -> str:
+                # a unite side may BE the result core: its keys are collected
+                # through the match it shares with the partner core
+                other = partner if core == result_core else result_core
+                return cq.key_col(core, other)
+
             b1 = KeyBits(
-                self.cores[core_u1].collect_keys(q1, cq.key_col(core_u1, result_core), self.key_space)
+                self.cores[core_u1].collect_keys(
+                    q1, _unite_key_col(core_u1, core_u2), self.key_space
+                )
             )
             b2 = KeyBits(
-                self.cores[core_u2].collect_keys(q2, cq.key_col(core_u2, result_core), self.key_space)
+                self.cores[core_u2].collect_keys(
+                    q2, _unite_key_col(core_u2, core_u1), self.key_space
+                )
             )
             united = b1 | b2  # J4: max one unite, OR of the two (MultiLucene.java:207-217)
             filter_bits = united if filter_bits is None else (filter_bits & united)

@@ -659,6 +659,63 @@ def q_lsh_ann(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cluster_topdocs(sf_dir: str) -> pa.Table:
+    """Q12: cluster the top 30 'data' hits (DBSCAN + PageRank ranking)."""
+    import pyarrow.parquet as pq
+
+    from ..cluster import CLUSTER_MORE_RECORDS, cluster_texts
+
+    res = get_searcher(sf_dir).execute(TermQ("data"), stop=30, stored_fields=("doc_id",))
+    ids = res.hits["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pq.read_table(_documents_path(sf_dir), columns=["doc_id", "text"])
+    texts_by_id = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    texts = [texts_by_id[i] for i in ids.tolist()]
+    clusters = cluster_texts(texts, eps=0.9, min_points=2)
+    return pa.table(
+        {
+            "label": pa.array([c.label for c in clusters], type=pa.int64()),
+            "size": pa.array([len(c.doc_indices) for c in clusters], type=pa.int64()),
+            "representative_doc": pa.array(
+                [int(ids[c.representative]) for c in clusters], type=pa.int64()
+            ),
+            "top_term": pa.array(
+                [c.top_terms[0] if c.top_terms else "" for c in clusters], type=pa.string()
+            ),
+        }
+    )
+
+
+def q_autocomplete(sf_dir: str) -> pa.Table:
+    """O27: shingle/ngram autocomplete over document title-ish prefixes."""
+    import ray.data as rd
+
+    from ..analysis import tokenize
+    from ..suggest import AutocompleteReader, build_suggestion_index
+
+    src = _documents_path(sf_dir)
+    key = hashlib.sha256(f"{os.path.abspath(src)}:{os.path.getmtime(src)}:sugg".encode()).hexdigest()[:16]
+    path = os.path.join("/tmp", "mlr_idx_cache", f"sugg_{key}.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        ds = rd.read_parquet(src, columns=["doc_id", "text"])
+        titled = ds.map_batches(
+            lambda t: t.append_column(
+                "title",
+                pa.array([" ".join(tokenize(x)[:4]) for x in t["text"].to_pylist()]),
+            ),
+            batch_format="pyarrow",
+        )
+        build_suggestion_index(titled, "title", path, key_col="doc_id")
+    reader = AutocompleteReader(path)
+    got = reader.suggest("th", limit=10)
+    return pa.table(
+        {
+            "suggestion": pa.array([s for s, _ in got], type=pa.string()),
+            "score": pa.array(_round4([sc for _, sc in got])),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
@@ -854,4 +911,6 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "lsh_ann_topk": q_lsh_ann,
+    "cluster_topdocs": q_cluster_topdocs,
+    "autocomplete": q_autocomplete,
 }

@@ -99,6 +99,24 @@ class SegmentSearcher:
         buf = self._pos_buf[ti]
         return decode_positions(buf, int(offs[posting_rank]), int(offs[posting_rank + 1]))
 
+    def positions_bulk(self, term: str, posting_ranks: np.ndarray, tfs: np.ndarray):
+        """Decode positions for MANY postings of one term in one vectorized
+        pass.  Returns (flat_positions uint64, group_starts int64) where
+        group i spans [starts[i], starts[i] + tfs[i])."""
+        ti = self.term_idx[term]
+        offs = np.asarray(self._pos_offs[ti], dtype=np.int64)
+        buf = self._pos_buf[ti]
+        spans = [buf[offs[r] : offs[r + 1]] for r in posting_ranks.tolist()]
+        joined = b"".join(spans)
+        gaps = varint_decode(joined)
+        lengths = tfs.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        # grouped delta-decode: cumsum with reset at group starts
+        cs = np.cumsum(gaps, dtype=np.uint64)
+        base = cs[starts] - gaps[starts]
+        flat = cs - np.repeat(base, lengths)
+        return flat, starts
+
     def term_stats(self, terms: Sequence[str]) -> dict[str, int]:
         return {t: int(self.df[self.term_idx[t]]) for t in terms if t in self.term_idx}
 
@@ -182,18 +200,33 @@ class SegmentSearcher:
             return mask, scores
         if not self.has_positions:
             raise RuntimeError("phrase query requires an index built with store_positions=True")
-        # rank of each candidate within each term's posting list (for position lookup)
+        # vectorized adjacency check across ALL candidates at once:
+        # tag each position with its candidate ordinal (key = cand*2^32+pos),
+        # then keep keys whose successor exists in the next term's key set
         ranks = [np.searchsorted(pl, cand) for pl in plists]
-        freqs = np.zeros(cand.size, dtype=np.int64)
-        for ci in range(cand.size):
-            pos = self.positions_for(q.terms[0], int(ranks[0][ci]))
-            live = pos
-            for k in range(1, len(q.terms)):
-                nxt = self.positions_for(q.terms[k], int(ranks[k][ci]))
-                live = live[np.isin(live + np.uint64(k), nxt, assume_unique=True)]
-                if live.size == 0:
-                    break
-            freqs[ci] = live.size
+        SHIFT = np.uint64(32)
+        tf_arrays = []
+        for t, pl in zip(q.terms, plists):
+            p = self.postings_local(t)
+            tf_arrays.append(p[1][np.searchsorted(p[0], cand)])
+        flat0, starts0 = self.positions_bulk(q.terms[0], ranks[0], tf_arrays[0])
+        cand_ord0 = np.repeat(
+            np.arange(cand.size, dtype=np.uint64), tf_arrays[0].astype(np.int64)
+        )
+        live_keys = (cand_ord0 << SHIFT) | flat0
+        live_ord = cand_ord0
+        for k in range(1, len(q.terms)):
+            flatk, _ = self.positions_bulk(q.terms[k], ranks[k], tf_arrays[k])
+            ordk = np.repeat(
+                np.arange(cand.size, dtype=np.uint64), tf_arrays[k].astype(np.int64)
+            )
+            keysk = (ordk << SHIFT) | flatk
+            keep = np.isin(live_keys + np.uint64(k), keysk, assume_unique=True)
+            live_keys = live_keys[keep]
+            live_ord = live_ord[keep]
+            if live_keys.size == 0:
+                break
+        freqs = np.bincount(live_ord.astype(np.int64), minlength=cand.size)
         hit = freqs > 0
         idx = cand[hit]
         mask[idx] = True

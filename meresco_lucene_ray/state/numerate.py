@@ -1,0 +1,90 @@
+"""TermNumerator — global string→dense-int dictionary, Ray-Data-first.
+
+The reference numerates join-key strings through a mutable
+taxonomy-writer-backed singleton
+(/root/reference/src/org/meresco/lucene/numerate/TermNumerator.java:39-78,
+shared across all cores — LuceneHttpServer.java:96-101).  A mutable global
+does not distribute; the Ray-native equivalent is a DERIVED, deterministic
+dictionary: the distinct key strings of the participating datasets, sorted,
+ranked — same dense-int property, rebuildable from inputs, identical on
+every worker.
+
+Numbering is stable under dataset growth only if rebuilt; pipelines that
+need stable incremental ids persist the dictionary parquet and extend it
+(new terms appended after the existing max — mirroring the taxonomy
+writer's append-only ordinals).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class TermNumerator:
+    def __init__(self, terms: list[str] | None = None):
+        self.terms: list[str] = list(terms or [])
+        self.index: dict[str, int] = {t: i for i, t in enumerate(self.terms)}
+
+    @classmethod
+    def from_datasets(cls, datasets_and_cols: list[tuple[object, str]]) -> "TermNumerator":
+        """Build from the union of distinct values of (dataset, column) pairs
+        — the ``ds.unique`` path, one small shuffle per input."""
+        values: set[str] = set()
+        for ds, col in datasets_and_cols:
+            values.update(str(v) for v in ds.unique(col))
+        return cls(sorted(values))
+
+    def numerate(self, term: str) -> int:
+        """numerateTerm analog (TermNumerator.java:51-53): append-only upsert."""
+        ix = self.index.get(term)
+        if ix is None:
+            ix = len(self.terms)
+            self.terms.append(term)
+            self.index[term] = ix
+        return ix
+
+    def numerate_array(self, values: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (self.index.get(str(v), -1) for v in values), dtype=np.int64, count=len(values)
+        )
+
+    @property
+    def size(self) -> int:
+        return len(self.terms)
+
+    def save(self, path: str) -> None:
+        pq.write_table(pa.table({"term": pa.array(self.terms, type=pa.string())}), path)
+
+    @classmethod
+    def load(cls, path: str) -> "TermNumerator":
+        if not os.path.exists(path):
+            return cls()
+        return cls(pq.read_table(path)["term"].to_pylist())
+
+
+def numerate_columns(ds, cols: list[str], numerator: TermNumerator, suffix: str = "_key"):
+    """Broadcast the dictionary once (ray.put) and attach numerated int
+    columns per batch — the KEYFIELD build path
+    (DocumentStringToDocument.java:136-144) as a map_batches stage."""
+    import ray
+
+    ref = ray.put(numerator.index)
+
+    class Numerate:
+        def __init__(self):
+            self.index = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            for c in cols:
+                vals = batch[c].to_pylist()
+                ids = np.fromiter(
+                    (self.index.get(str(v), -1) for v in vals), dtype=np.int64, count=len(vals)
+                )
+                batch = batch.append_column(c + suffix, pa.array(ids))
+            return batch
+
+    return ds.map_batches(Numerate, batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,4 @@
+from .autocomplete import build_suggestion_index, AutocompleteReader
+from .spell import levenshtein, spell_suggest
+
+__all__ = ["build_suggestion_index", "AutocompleteReader", "levenshtein", "spell_suggest"]

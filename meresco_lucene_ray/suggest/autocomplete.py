@@ -1,0 +1,160 @@
+"""Autocomplete — the suggestion subsystem (SURVEY.md §2.10, O27).
+
+Reference pipeline being re-expressed:
+- O27a shingle extraction: record values → word shingles
+  (/root/reference/src/org/meresco/lucene/suggestion/SuggestionIndex.java:94-121,234-244);
+- O27b ngram index build: per shingle, char bi/trigram fields with ``$word$``
+  boundary markers + filter keys; built into a temp dir then atomically
+  swapped (SuggestionNGramIndex.java:109-201; SuggestionIndex.java:132-190);
+- O27c suggest query: AND of char-ngram terms (trigrams when the word is
+  long enough, skipping the trailing ``$`` ngram), optional key-set filter
+  (SuggestionNGramIndex.java:225-276; SuggestionNGramKeysFilter.java);
+- O27d python re-ranking: ``distanceScore = max(0, −log(dist+1)/4+1)``,
+  ``sortScore = distanceScore · score² · (matchScore·2)``, dedup, top-10
+  (meresco/lucene/suggestionindexcomponent.py handleRequest).
+
+Ray mapping (SURVEY §2.10): the build is a mini index pipeline —
+``map_batches(shingle explode) → groupby(shingle) aggregate`` — and serving
+is one small reader (actor-friendly: load once, query many).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis import char_ngrams, tokenize, word_shingles
+from .spell import levenshtein
+
+
+def build_suggestion_index(
+    ds,
+    value_col: str,
+    out_path: str,
+    key_col: str | None = None,
+    min_shingle: int = 1,
+    max_shingle: int = 3,
+) -> str:
+    """Shingle-explode the value column, aggregate counts (+ filter keys),
+    write the suggestion table atomically (temp file + rename)."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        values = batch[value_col].to_pylist()
+        keys = batch[key_col].to_pylist() if key_col else [None] * len(values)
+        out_sh, out_key = [], []
+        for v, k in zip(values, keys):
+            toks = tokenize(v or "")
+            for n in range(min_shingle, max_shingle + 1):
+                for i in range(len(toks) - n + 1):
+                    out_sh.append(" ".join(toks[i : i + n]))
+                    out_key.append(k if k is not None else -1)
+        return pa.table(
+            {
+                "shingle": pa.array(out_sh, type=pa.string()),
+                "key": pa.array(out_key, type=pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shingle": [g["shingle"].iloc[0]],
+                "count": [len(g)],
+                "keys": [sorted(set(int(k) for k in g["key"] if k >= 0))],
+            }
+        )
+
+    table = exploded.groupby("shingle").map_groups(agg, batch_format="pandas").to_pandas()
+    arrow = pa.Table.from_pandas(table, preserve_index=False)
+    tmp = out_path + ".tmp"
+    pq.write_table(arrow, tmp)
+    os.replace(tmp, out_path)  # atomic swap (SuggestionIndex.java:132-190)
+    return out_path
+
+
+class AutocompleteReader:
+    """Serving side: loads the suggestion table once (per actor), answers
+    suggest() queries via an in-memory char-ngram inverted index."""
+
+    def __init__(self, path: str):
+        t = pq.read_table(path)
+        self.shingles: list[str] = t["shingle"].to_pylist()
+        self.counts = t["count"].to_numpy()
+        self.keys: list[list[int]] = t["keys"].to_pylist()
+        # index BOTH bigrams and trigrams per shingle — the reference keeps
+        # two ngram fields and the query picks one by word length
+        # (SuggestionNGramIndex.java:109-143 BIGRAM/TRIGRAM fields)
+        self.ngram_index: dict[str, list[int]] = {}
+        for i, s in enumerate(self.shingles):
+            grams: set[str] = set()
+            for w in tokenize(s):
+                grams.update(char_ngrams(w, 2))
+                if len(w) > 2:
+                    grams.update(char_ngrams(w, 3))
+            for g in grams:
+                self.ngram_index.setdefault(g, []).append(i)
+
+    @staticmethod
+    def _query_ngrams(value: str, trailing: bool) -> list[str]:
+        """Trigrams for words of length > 2, else bigrams; the query side
+        skips the trailing ``$``-closing ngram of the LAST word so partial
+        words match (SuggestionNGramIndex.java:225-247)."""
+        words = tokenize(value)
+        out: list[str] = []
+        for wi, w in enumerate(words):
+            n = 3 if len(w) > 2 else 2
+            grams = char_ngrams(w, n)
+            if not trailing and wi == len(words) - 1 and grams:
+                grams = grams[:-1]
+            out.extend(grams)
+        return out
+
+    def suggest(
+        self,
+        value: str,
+        limit: int = 10,
+        filter_keys: set[int] | None = None,
+    ) -> list[tuple[str, float]]:
+        grams = self._query_ngrams(value, trailing=False)
+        if not grams:
+            return []
+        candidate_ids: np.ndarray | None = None
+        for g in grams:
+            ids = np.asarray(self.ngram_index.get(g, []), dtype=np.int64)
+            candidate_ids = (
+                ids
+                if candidate_ids is None
+                else candidate_ids[np.isin(candidate_ids, ids, assume_unique=True)]
+            )
+            if candidate_ids.size == 0:
+                return []
+        scored = []
+        vnorm = value.lower().strip()
+        for i in candidate_ids.tolist():
+            if filter_keys is not None and not (set(self.keys[i]) & filter_keys):
+                continue
+            s = self.shingles[i]
+            dist = levenshtein(vnorm, s)
+            distance_score = max(0.0, -math.log(dist + 1) / 4 + 1)
+            match_score = 1.0 if s.startswith(vnorm) else 0.5
+            score = float(self.counts[i])
+            sort_score = distance_score * score * score * (match_score * 2)
+            scored.append((s, sort_score))
+        # dedup + top-10 (suggestionindexcomponent.py handleRequest)
+        seen: set[str] = set()
+        out = []
+        for s, sc in sorted(scored, key=lambda x: (-x[1], x[0])):
+            if s in seen:
+                continue
+            seen.add(s)
+            out.append((s, sc))
+            if len(out) >= limit:
+                break
+        return out

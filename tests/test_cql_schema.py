@@ -1,0 +1,136 @@
+"""CQL front-end golden ASTs (mirrors queryexpressiontolucenequerydicttest
+style) + SchemaPolicy resolution + TermNumerator."""
+
+import pytest
+
+from meresco_lucene_ray.cql import CqlConfig, CqlParseError, cql_to_query
+from meresco_lucene_ray.query.ast import (
+    BoolQ,
+    DocValEqQ,
+    MatchAllQ,
+    PhraseQ,
+    PrefixQ,
+    RangeQ,
+    TermQ,
+)
+from meresco_lucene_ray.schema import FieldDef, Role, SchemaPolicy, facet_path
+
+CFG = CqlConfig(
+    text_col="text",
+    keyword_cols=frozenset({"lang", "source"}),
+    numeric_cols=frozenset({"n_chars"}),
+)
+
+
+def test_bare_term():
+    assert cql_to_query("merge", CFG) == TermQ("merge")
+
+
+def test_boost():
+    assert cql_to_query("merge^2.5", CFG) == TermQ("merge", boost=2.5)
+
+
+def test_quoted_phrase():
+    assert cql_to_query('"batch stream"', CFG) == PhraseQ(("batch", "stream"))
+
+
+def test_prefix():
+    assert cql_to_query("val*", CFG) == PrefixQ("val")
+
+
+def test_matchall():
+    assert cql_to_query("*", CFG) == MatchAllQ()
+    assert cql_to_query("", CFG) == MatchAllQ()
+
+
+def test_keyword_eq():
+    assert cql_to_query("lang = en", CFG) == DocValEqQ("lang", "en")
+    assert cql_to_query("lang == en", CFG) == DocValEqQ("lang", "en")
+
+
+def test_range():
+    assert cql_to_query("n_chars >= 100", CFG) == RangeQ(
+        "n_chars", lo=100, hi=None, include_lo=True, include_hi=False
+    )
+    assert cql_to_query("n_chars < 300", CFG) == RangeQ(
+        "n_chars", lo=None, hi=300, include_lo=False, include_hi=False
+    )
+
+
+def test_boolean_and_not():
+    q = cql_to_query("merge AND hash NOT spark", CFG)
+    assert q == BoolQ(must=(TermQ("merge"), TermQ("hash")), must_not=(TermQ("spark"),))
+
+
+def test_boolean_or_parens():
+    q = cql_to_query("(merge OR hash) AND lang = en", CFG)
+    assert q == BoolQ(
+        must=(BoolQ(should=(TermQ("merge"), TermQ("hash"))), DocValEqQ("lang", "en"))
+    )
+
+
+def test_unqualified_multifield_expansion():
+    cfg = CqlConfig(text_col="text", unqualified_fields=(("text", 1.0), ("text", 3.0)))
+    q = cql_to_query("merge", cfg)
+    assert q == BoolQ(should=(TermQ("merge", boost=1.0), TermQ("merge", boost=3.0)))
+
+
+def test_errors():
+    with pytest.raises(CqlParseError):
+        cql_to_query("unknownfield = x", CFG)
+    with pytest.raises(CqlParseError):
+        cql_to_query("lang = en)", CFG)
+    with pytest.raises(CqlParseError):
+        cql_to_query("n_chars = 1 AND (", CFG)
+
+
+# ---- SchemaPolicy -----------------------------------------------------------
+
+def test_schema_prefix_rules():
+    p = SchemaPolicy()
+    assert p.resolve("__id__").role is Role.ID
+    assert p.resolve("sorted.title").role is Role.KEYWORD
+    assert p.resolve("sorted.title").sort is True
+    assert p.resolve("untokenized.isbn").role is Role.KEYWORD
+    assert p.resolve("__key__.group").role is Role.KEY
+    assert p.resolve("__numeric__.year").role is Role.NUMERIC
+    assert p.resolve("range.int.age").role is Role.NUMERIC
+    assert p.resolve("body").role is Role.TEXT
+
+
+def test_schema_register_override_and_predicate():
+    p = SchemaPolicy()
+    p.register("body", FieldDef(Role.KEYWORD))
+    assert p.resolve("body").role is Role.KEYWORD
+    p.register(lambda n: n.endswith("_kw"), FieldDef(Role.KEYWORD))
+    assert p.resolve("anything_kw").role is Role.KEYWORD
+
+
+def test_schema_to_index_config():
+    p = SchemaPolicy()
+    p.register_drilldown("category", hierarchical=True)
+    cfg = p.to_index_config(["__id__", "content", "untokenized.lang", "category"])
+    assert cfg.text_col == "content"
+    assert cfg.id_col == "__id__"
+    assert set(cfg.stored_cols) == {"untokenized.lang", "category"}
+
+
+def test_facet_path():
+    assert facet_path("a>b>c") == ["a", "b", "c"]
+    long = "x" * 300
+    assert facet_path(long) == ["x" * 256]
+
+
+# ---- TermNumerator ----------------------------------------------------------
+
+def test_term_numerator(tmp_path):
+    from meresco_lucene_ray.state import TermNumerator
+
+    tn = TermNumerator(["a", "b"])
+    assert tn.numerate("a") == 0
+    assert tn.numerate("c") == 2  # append-only upsert
+    assert tn.numerate_array(["b", "zz", "c"]).tolist() == [1, -1, 2]
+    path = str(tmp_path / "dict.parquet")
+    tn.save(path)
+    tn2 = TermNumerator.load(path)
+    assert tn2.terms == ["a", "b", "c"]
