@@ -24,6 +24,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DOCS_PER_SF = 200_000  # sf0.1 -> 20k synthetic source files
+DOCS_OVERRIDE = int(os.environ.get("MLR_BENCH_DOCS", "0"))  # --scaling uses a
+# larger fixed corpus so compute dominates Ray's fixed stage/startup overheads
+SCALING_DOCS = 400_000
+SKIP_ENTRIES = os.environ.get("MLR_BENCH_SKIP_ENTRIES", "") == "1"
 
 # mixed query set (single-term / boolean / phrase / prefix / filtered),
 # mirroring the reference query-set shape in FIXTURES.md F1
@@ -95,38 +99,49 @@ def run_bench() -> dict:
     from meresco_lucene_ray.query import IndexSearcher
 
     sf = sf_of(SF_DIR)
-    n_docs = max(int(DOCS_PER_SF * sf), 500)
+    n_docs = DOCS_OVERRIDE or max(int(DOCS_PER_SF * sf), 500)
     corpus_dir = corpus_parquet(n_docs)
-    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
+    # warm-up (untimed): page cache AND the Ray worker pool — a real cluster
+    # has long-lived workers; a cold pool pays numpy/pandas imports per worker
     rd.read_parquet(corpus_dir).count()
-
-    idx_dir = f"/tmp/mlr_bench/index_{n_docs}_{NUM_CPUS}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
     cfg = IndexConfig(
         text_col="content",
         id_from=("repo", "path", "commit"),
         stored_cols=("lang", "repo"),
-        num_shards=max(NUM_CPUS, 8),
         store_positions=True,
         hash_content=True,
     )
+    target = max(1000, n_docs // 32)  # ~32 segments regardless of CPU level
+    warm_dir = f"/tmp/mlr_bench/warm_{n_docs}_{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(corpus_dir, warm_dir, cfg, target_docs_per_segment=target)
+
+    idx_dir = f"/tmp/mlr_bench/index_{n_docs}_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
-    manifest = build_index(rd.read_parquet(corpus_dir), idx_dir, cfg)
+    # zero-shuffle file-partitioned build (the default layout)
+    manifest = build_index(corpus_dir, idx_dir, cfg, target_docs_per_segment=target)
     build_sec = time.time() - t0
     files_per_sec = n_docs / build_sec
 
-    searcher = IndexSearcher(idx_dir, num_actors=max(NUM_CPUS // 2, 2), num_cpus=1)
+    searcher = IndexSearcher(idx_dir, num_actors=8, num_cpus=1)
     asts = [build_ast(k, a) for k, a in QUERY_SET]
     # warm the actors (load segments) untimed
     searcher.execute(asts[0], stop=10)
+    # throughput = concurrent clients (Jetty-pool analog); latency sampled per call
+    from concurrent.futures import ThreadPoolExecutor
+
     lat = []
+
+    def run_one(q):
+        tq = time.time()
+        searcher.execute(q, stop=10)
+        lat.append(time.time() - tq)
+
+    rounds = 4
     t0 = time.time()
-    rounds = 3
-    for _ in range(rounds):
-        for q in asts:
-            tq = time.time()
-            searcher.execute(q, stop=10)
-            lat.append(time.time() - tq)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(run_one, [q for _ in range(rounds) for q in asts]))
     query_sec = time.time() - t0
     qps = len(lat) / query_sec
     p50_ms = statistics.median(lat) * 1000
@@ -134,13 +149,14 @@ def run_bench() -> dict:
 
     # entry pipelines over the sf tables (a subset that exercises shuffle,
     # broadcast join, dedup and ANN paths)
-    from meresco_lucene_ray.pipelines import entries as E
-
     queries = {"index_build": round(build_sec, 3), "bm25_query_set": round(query_sec, 3)}
-    for name in ("join_semi", "dedup_exact", "token_stats", "ann_topk", "minhash_lsh_buckets"):
-        tq = time.time()
-        E.QUERIES[name](SF_DIR)
-        queries[name] = round(time.time() - tq, 3)
+    if not SKIP_ENTRIES:
+        from meresco_lucene_ray.pipelines import entries as E
+
+        for name in ("join_semi", "dedup_exact", "token_stats", "ann_topk", "minhash_lsh_buckets"):
+            tq = time.time()
+            E.QUERIES[name](SF_DIR)
+            queries[name] = round(time.time() - tq, 3)
 
     total = sum(queries.values())
     result = {
@@ -170,7 +186,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            MLR_BENCH_DOCS=str(SCALING_DOCS),
+            MLR_BENCH_SKIP_ENTRIES="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -53,6 +53,57 @@ def tokenize_batch(texts: Sequence[str | None]) -> list[list[str]]:
     return [findall(t.lower()) if t else [] for t in texts]
 
 
+def tokenize_whitespace(text: str | None) -> list[str]:
+    """WhitespaceAnalyzer option (LuceneSettings.java:193-208): split on
+    whitespace only, no lowercasing/folding."""
+    return text.split() if text else []
+
+
+def dutch_stem(word: str) -> str:
+    """Simplified Dutch suffix stripper.  The reference uses the Snowball
+    Dutch stemmer (MerescoDutchStemmingAnalyzer.java:49-66); this is a
+    deliberately small approximation of its most common reductions — the
+    MECHANISM (emit stemmed + original, dedup) is the parity target, not
+    bug-for-bug snowball output."""
+    for suf in ("heden", "eren", "tje", "en", "s"):
+        if word.endswith(suf) and len(word) - len(suf) >= 3:
+            return word[: -len(suf)]
+    return word
+
+
+def make_tokenizer(
+    kind: str = "standard",
+    ascii_folding: bool = False,
+    stem: str | None = None,
+):
+    """Tokenizer factory — the analyzer-strategy enum (M1/M2/M3).
+
+    ``stem`` emits BOTH the original and the stemmed token when they differ
+    (KeywordRepeatFilter → stemmer → RemoveDuplicatesTokenFilter semantics,
+    MerescoDutchStemmingAnalyzer.java:49-66)."""
+    base = tokenize if kind == "standard" else tokenize_whitespace
+    stemmer = dutch_stem if stem == "dutch" else None
+
+    def one(text: str | None) -> list[str]:
+        if ascii_folding and text:
+            text = fold_ascii(text)
+        toks = base(text)
+        if stemmer is None:
+            return toks
+        out: list[str] = []
+        for t in toks:
+            st = stemmer(t)
+            out.append(t)
+            if st != t:
+                out.append(st)
+        return out
+
+    def many(texts: Sequence[str | None]) -> list[list[str]]:
+        return [one(t) for t in texts]
+
+    return many
+
+
 def term_freqs(tokens: Iterable[str]) -> Counter:
     return Counter(tokens)
 

@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis import tokenize_batch
+from ..analysis import make_tokenizer, tokenize_batch
 from .codec import encode_segment_positions, encode_segment_postings
 from .manifest import IndexManifest, SegmentInfo
 
@@ -63,9 +63,24 @@ class IndexConfig:
     hash_content: bool = True           # per-row sha256(content) ingest invariant
     k1: float = 0.9
     b: float = 0.4
+    analyzer: str = "standard"          # "standard" | "whitespace" (M1/M3)
+    ascii_folding: bool = False         # ASCIIFoldingFilter analog
+    stem: str | None = None             # e.g. "dutch" (M2: emit stemmed+original)
 
     def fingerprint(self) -> str:
-        return hashlib.sha256(repr(sorted(asdict(self).items())).encode()).hexdigest()[:16]
+        # canonical JSON so a config round-tripped through manifest.json
+        # (tuples → lists) fingerprints identically.  Only SEMANTIC fields
+        # participate: id derivation (id_col/id_from) and num_shards don't
+        # change the validity of an already-built segment — an incremental
+        # add may derive ids differently without invalidating old segments.
+        import json
+
+        d = asdict(self)
+        for k in ("id_col", "id_from", "num_shards"):
+            d.pop(k, None)
+        return hashlib.sha256(
+            json.dumps(d, sort_keys=True, default=list).encode()
+        ).hexdigest()[:16]
 
 
 def _shard_of(ids: list[str], num_shards: int) -> np.ndarray:
@@ -82,8 +97,10 @@ class TokenizeStage:
       tfs (list<int32>), [positions flattened varint-ready], stored cols.
     """
 
-    def __init__(self, cfg: IndexConfig):
+    def __init__(self, cfg: IndexConfig, shard_offset: int = 0):
         self.cfg = cfg
+        self.shard_offset = shard_offset
+        self._tokenizer = make_tokenizer(cfg.analyzer, cfg.ascii_folding, cfg.stem)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -93,7 +110,7 @@ class TokenizeStage:
         else:
             parts = [batch[c].to_pylist() for c in cfg.id_from]
             ids = [":".join(str(v) for v in row) for row in zip(*parts)]
-        toks = tokenize_batch(texts)
+        toks = self._tokenizer(texts)
         ndocs = len(toks)
         dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=ndocs)
 
@@ -135,7 +152,7 @@ class TokenizeStage:
 
         cols: dict[str, Any] = {
             "__id__": pa.array(ids, type=pa.string()),
-            "shard": pa.array(_shard_of(ids, cfg.num_shards)),
+            "shard": pa.array(_shard_of(ids, cfg.num_shards) + np.int32(self.shard_offset)),
             "dl": pa.array(dl),
             "terms": terms_col,
             "tfs": tfs_col,
@@ -291,28 +308,248 @@ class SegmentBuilder:
         )
 
 
-def _segment_complete(seg_dir: str, fingerprint: str) -> bool:
+def _read_marker(seg_dir: str) -> dict | None:
     marker = os.path.join(seg_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        return False
+        return None
+    import json
+
     with open(marker) as f:
-        return f.read().strip() == fingerprint
+        content = f.read().strip()
+    try:
+        return json.loads(content)
+    except ValueError:
+        return {"fingerprint": content}
+
+
+def _segment_complete(seg_dir: str, fingerprint: str) -> bool:
+    m = _read_marker(seg_dir)
+    return m is not None and m.get("fingerprint") == fingerprint
 
 
 def _atomic_write_segment(seg_dir: str, fingerprint: str, postings: pa.Table, docs: pa.Table) -> None:
+    """Atomic publish (tmp dir + rename); the _SUCCESS marker carries the
+    lineage fingerprint AND the segment's stats so manifest assembly never
+    re-reads segment files (O(segments) tiny JSON reads, not column scans)."""
+    import json
+
     tmp = seg_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(postings, os.path.join(tmp, "postings.parquet"))
     pq.write_table(docs, os.path.join(tmp, "docs.parquet"))
+    stats = {
+        "fingerprint": fingerprint,
+        "num_docs": len(docs),
+        "sum_dl": int(pa.compute.sum(docs["dl"]).as_py() or 0),
+        "num_terms": len(postings),
+    }
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write(fingerprint)
+        json.dump(stats, f)
     shutil.rmtree(seg_dir, ignore_errors=True)
     os.replace(tmp, seg_dir)
 
 
-def build_index(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexManifest:
-    """Build a sharded inverted index from a corpus Dataset; returns the manifest.
+def add_documents(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexManifest:
+    """Incremental add/upsert: build NEW segments (shard ids after the
+    existing ones, mirroring Lucene's per-segment docid spaces) and tombstone
+    the re-added ``__id__``s in older segments — updateDocument semantics
+    (Lucene.java:166-171) without rewriting old segments.
+
+    Like Lucene, deleted docs still count in df/term stats until a merge
+    rewrites the segments (merge_index applies tombstones).
+    Scale note: the tombstone list is the new batch's id set; at 10^12-doc
+    scale you'd bloom-filter it against old segments first — here it is
+    written verbatim and applied as a hash-set mask at segment load."""
+    manifest = IndexManifest.load(index_dir)
+    cfg = cfg or IndexConfig(**manifest.config)
+    base_cfg = IndexConfig(**manifest.config)
+    if cfg.fingerprint() != base_cfg.fingerprint():
+        raise ValueError(
+            "add_documents config is semantically incompatible with the index "
+            f"(fingerprint {cfg.fingerprint()} != {base_cfg.fingerprint()}); "
+            "changing analyzer/stored_cols/etc requires a rebuild"
+        )
+    offset = max((s.shard for s in manifest.segments), default=-1) + 1
+
+    tokenized = ds.map_batches(
+        TokenizeStage(cfg, shard_offset=offset), batch_format="pyarrow", batch_size=1024
+    )
+    builder = SegmentBuilder(index_dir, cfg)
+
+    def build_segment(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    tokenized.groupby("shard").map_groups(build_segment, batch_format="pyarrow").materialize()
+
+    # tombstone the new ids against all pre-existing shards
+    new_ids: list[str] = []
+    for name in sorted(os.listdir(os.path.join(index_dir, "segments"))):
+        shard = int(name.split("=")[1])
+        if shard >= offset:
+            t = pq.read_table(
+                os.path.join(index_dir, "segments", name, "docs.parquet"), columns=["__id__"]
+            )
+            new_ids.extend(t["__id__"].to_pylist())
+    append_tombstones(index_dir, new_ids, before_shard=offset)
+    return _publish_manifest(index_dir, cfg, bump_from=manifest)
+
+
+def delete_documents(index_dir: str, ids: list[str]) -> IndexManifest:
+    """Delete by ``__id__`` (Lucene.deleteDocument analog, Lucene.java:173-181):
+    tombstones applied to every current segment."""
+    manifest = IndexManifest.load(index_dir)
+    max_shard = max((s.shard for s in manifest.segments), default=-1) + 1
+    append_tombstones(index_dir, ids, before_shard=max_shard)
+    cfg = IndexConfig(**manifest.config)
+    return _publish_manifest(index_dir, cfg, bump_from=manifest)
+
+
+def append_tombstones(index_dir: str, ids: list[str], before_shard: int) -> None:
+    if not ids:
+        return
+    path = os.path.join(index_dir, "tombstones.parquet")
+    new = pa.table(
+        {
+            "__id__": pa.array(ids, type=pa.string()),
+            "before_shard": pa.array(np.full(len(ids), before_shard, dtype=np.int32)),
+        }
+    )
+    if os.path.exists(path):
+        new = pa.concat_tables([pq.read_table(path), new])
+    tmp = path + ".tmp"
+    pq.write_table(new, tmp)
+    os.replace(tmp, path)
+
+
+def load_tombstones(index_dir: str) -> dict[str, int]:
+    """id -> highest before_shard (deleted in all shards below it)."""
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(path):
+        return {}
+    t = pq.read_table(path)
+    out: dict[str, int] = {}
+    for i, b in zip(t["__id__"].to_pylist(), t["before_shard"].to_pylist()):
+        out[i] = max(out.get(i, 0), int(b))
+    return out
+
+
+def _plan_file_units(paths: list[str], target_docs: int) -> list[dict]:
+    """Split input parquet files into (path, row-group range) units of
+    ~target_docs rows — the segment planning step.  Unit order (and thus
+    shard ids and docids) is deterministic: sorted by path, then range."""
+    units: list[dict] = []
+    for path in sorted(paths):
+        md = pq.read_metadata(path)
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        start = 0
+        acc = 0
+        for i, nrows in enumerate(rg_rows):
+            acc += nrows
+            if acc >= target_docs or i == len(rg_rows) - 1:
+                units.append({"path": path, "rg_start": start, "rg_end": i + 1, "rows": acc})
+                start = i + 1
+                acc = 0
+    for i, u in enumerate(units):
+        u["shard"] = i
+    return units
+
+
+class FileSegmentBuilder:
+    """Zero-shuffle build task: one (file, row-group range) unit → one
+    segment.  Tokenize and posting construction are FUSED in the task, so the
+    fat tokenized intermediate never enters the object store — at 100 TB the
+    only data movement is the original parquet read.
+
+    This is the default layout.  It assumes ``__id__`` values are unique
+    across the corpus (duplicate ids are NOT upserted across units — use
+    layout="hash" for a last-write-wins shuffle dedup, or run exact_dedup
+    first).  The reference behaves identically when ids are unique
+    (updateDocument == addDocument, Lucene.java:166-171)."""
+
+    def __init__(self, index_dir: str, cfg: IndexConfig):
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self._tokenize = TokenizeStage(cfg)
+        self._builder = SegmentBuilder(index_dir, cfg)
+
+    def __call__(self, batch) -> pa.Table:
+        out = []
+        for path, rg_start, rg_end, shard in zip(
+            batch["path"], batch["rg_start"], batch["rg_end"], batch["shard"]
+        ):
+            f = pq.ParquetFile(path)
+            table = f.read_row_groups(list(range(int(rg_start), int(rg_end))))
+            cols = [self.cfg.text_col, *self.cfg.id_from, *self.cfg.stored_cols]
+            if self.cfg.id_col:
+                cols.append(self.cfg.id_col)
+            table = table.select([c for c in dict.fromkeys(cols)])
+            tokenized = self._tokenize(table)
+            shard_col = np.full(len(tokenized), int(shard), dtype=np.int32)
+            tokenized = tokenized.set_column(
+                tokenized.schema.get_field_index("shard"), "shard", pa.array(shard_col)
+            )
+            out.append(self._builder(tokenized))
+        return pa.concat_tables(out, promote_options="default")
+
+
+def build_index(
+    source,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    target_docs_per_segment: int = 250_000,
+) -> IndexManifest:
+    """Build a sharded inverted index; returns the manifest.
+
+    ``source``: parquet path(s) → zero-shuffle file-partitioned build (one
+    segment per ~target_docs_per_segment rows; deterministic docids from the
+    file/row-group order; resumable per unit); or a ray.data.Dataset → the
+    hash-sharded ``groupby(shard)`` build with last-write-wins upsert dedup.
+    """
+    if isinstance(source, (str, list, tuple)):
+        return _build_index_from_files(
+            [source] if isinstance(source, str) else list(source),
+            index_dir,
+            cfg,
+            target_docs_per_segment,
+        )
+    return _build_index_from_dataset(source, index_dir, cfg)
+
+
+def _expand_paths(paths: list[str]) -> list[str]:
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            out.append(p)
+    return out
+
+
+def _build_index_from_files(
+    paths: list[str], index_dir: str, cfg: IndexConfig | None, target_docs: int
+) -> IndexManifest:
+    import ray.data as rd
+
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    units = _plan_file_units(_expand_paths(paths), target_docs)
+    term_rows = (
+        rd.from_items(units)
+        .map_batches(
+            FileSegmentBuilder(index_dir, cfg),
+            batch_format="numpy",
+            batch_size=1,
+        )
+        .materialize()
+    )
+    return _finish_build(term_rows, index_dir, cfg)
+
+
+def _build_index_from_dataset(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexManifest:
+    """Hash-sharded build over a Dataset (the upsert-dedup path).
 
     ``ds``: ray.data.Dataset with at least cfg.text_col and the id columns.
     """
@@ -333,16 +570,25 @@ def build_index(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexMani
     term_rows = tokenized.groupby("shard").map_groups(
         build_segment, batch_format="pyarrow"
     ).materialize()
-    # global term stats = groupby(term)-aggregate over per-segment rows.
-    # The rows are ALREADY per-segment combined (one row per distinct term per
-    # segment), so their count is tiny relative to the corpus; below a
-    # threshold a driver-side arrow groupby beats a Ray all-to-all by ~15s of
-    # fixed shuffle overhead.  Past it (huge vocabularies), shuffle properly.
+    return _finish_build(term_rows, index_dir, cfg)
+
+
+def _finish_build(term_rows, index_dir: str, cfg: IndexConfig) -> IndexManifest:
+    """Global term stats = groupby(term)-aggregate over per-segment rows.
+
+    The rows are ALREADY per-segment combined (one row per distinct term per
+    segment), so their count is tiny relative to the corpus; below a
+    threshold a driver-side arrow groupby beats a Ray all-to-all by seconds
+    of fixed shuffle overhead.  Past it (huge vocabularies), shuffle
+    properly with the Ray groupby."""
+    from ray.data.aggregate import Sum
+
     n_term_rows = term_rows.count()
-    if n_term_rows <= 5_000_000:
+    if n_term_rows <= 50_000_000:
         import ray as _ray
 
-        parts = pa.concat_tables(_ray.get(term_rows.to_arrow_refs()))
+        blocks = [t for t in _ray.get(term_rows.to_arrow_refs()) if t.num_columns > 0]
+        parts = pa.concat_tables(blocks, promote_options="default")
         merged = (
             parts.group_by("term")
             .aggregate([("df", "sum"), ("cf", "sum")])
@@ -358,41 +604,72 @@ def build_index(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexMani
         merged = pa.concat_tables(_ray.get(stats.sort("term").to_arrow_refs()))
     pq.write_table(merged, os.path.join(index_dir, "termstats.parquet"))
 
-    # assemble manifest from segment dirs
+    return _publish_manifest(index_dir, cfg, num_terms=len(merged))
+
+
+def _publish_manifest(
+    index_dir: str,
+    cfg: IndexConfig,
+    bump_from: IndexManifest | None = None,
+    num_terms: int | None = None,
+) -> IndexManifest:
+    """Scan completed segment dirs → manifest (the atomic 'commit').
+
+    When called from add/delete (``bump_from``), term stats are recomputed
+    driver-side from the segments' (term, df, cf) columns."""
     segments = []
     num_docs = 0
     sum_dl = 0
     seg_root = os.path.join(index_dir, "segments")
     for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []:
         seg_dir = os.path.join(seg_root, name)
-        if not _segment_complete(seg_dir, cfg.fingerprint()):
+        m = _read_marker(seg_dir)
+        if m is None or m.get("fingerprint") != cfg.fingerprint():
             continue
-        dmeta = pq.read_metadata(os.path.join(seg_dir, "docs.parquet"))
-        pmeta = pq.read_metadata(os.path.join(seg_dir, "postings.parquet"))
-        dls = pq.read_table(os.path.join(seg_dir, "docs.parquet"), columns=["dl"])
-        sdl = int(pa.compute.sum(dls["dl"]).as_py() or 0)
+        if "num_docs" not in m:  # legacy marker: fall back to column scans
+            dls = pq.read_table(os.path.join(seg_dir, "docs.parquet"), columns=["dl"])
+            m["num_docs"] = len(dls)
+            m["sum_dl"] = int(pa.compute.sum(dls["dl"]).as_py() or 0)
+            m["num_terms"] = pq.read_metadata(os.path.join(seg_dir, "postings.parquet")).num_rows
         shard = int(name.split("=")[1])
         segments.append(
             SegmentInfo(
                 shard=shard,
-                num_docs=dmeta.num_rows,
-                sum_dl=sdl,
-                num_terms=pmeta.num_rows,
+                num_docs=m["num_docs"],
+                sum_dl=m["sum_dl"],
+                num_terms=m["num_terms"],
                 path=f"segments/{name}",
                 fingerprint=cfg.fingerprint(),
             )
         )
-        num_docs += dmeta.num_rows
-        sum_dl += sdl
+        num_docs += m["num_docs"]
+        sum_dl += m["sum_dl"]
+
+    if bump_from is not None:
+        parts = [
+            pq.read_table(os.path.join(index_dir, s.path, "postings.parquet"), columns=["term", "df", "cf"])
+            for s in segments
+        ]
+        merged = (
+            pa.concat_tables(parts)
+            .group_by("term")
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .rename_columns(["term", "df", "cf"])
+            .sort_by("term")
+            if parts
+            else pa.table({"term": [], "df": [], "cf": []})
+        )
+        pq.write_table(merged, os.path.join(index_dir, "termstats.parquet"))
+        num_terms = len(merged)
 
     manifest = IndexManifest(
-        version=1,
+        version=(bump_from.version + 1) if bump_from else 1,
         num_docs=num_docs,
         sum_dl=sum_dl,
         num_shards=cfg.num_shards,
         config=asdict(cfg),
         segments=segments,
-        metrics={"num_terms_global": len(merged)},
+        metrics={"num_terms_global": num_terms},
     )
     manifest.save(index_dir)
     return manifest

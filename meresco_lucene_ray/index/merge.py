@@ -107,9 +107,33 @@ class SegmentMerger:
         }
 
     def _do_merge(self, seg_paths: list[str], new_shard: int, seg_dir: str, fp: str):
+        from .build import load_tombstones
+
         decoded = [_decode_whole_segment(os.path.join(self.index_dir, p)) for p in seg_paths]
-        # docid remap: new local = old local + cumulative doc count of earlier
-        # segments (segment-ordinal order, Lucene's merge model)
+        # merging EXPUNGES tombstoned docs (Lucene: merges drop deletes);
+        # keep masks + compact local-docid remaps per source segment
+        tombstones = load_tombstones(self.index_dir)
+        for d in decoded:
+            ids = d["docs_table"]["__id__"].to_pylist()
+            shard = (
+                int(d["docs_table"]["docid"][0].as_py()) >> SHARD_BITS if len(ids) else 0
+            )
+            keep = np.fromiter(
+                (tombstones.get(i, -1) <= shard for i in ids), dtype=bool, count=len(ids)
+            )
+            d["keep_doc"] = keep
+            d["remap"] = np.cumsum(keep) - 1  # old local -> new local (valid where keep)
+            # filter postings rows by their doc's liveness
+            local = (d["docids"] & np.uint64((1 << SHARD_BITS) - 1)).astype(np.int64)
+            pk = keep[local]
+            d["term_ord"] = d["term_ord"][pk]
+            d["docids"] = d["docids"][pk]
+            d["tfs_kept_mask"] = pk
+            if "posting_starts" in d:
+                d["posting_starts"] = d["posting_starts"][pk]
+            d["tfs"] = d["tfs"][pk]
+            d["local_kept"] = local[pk]
+            d["docs_table"] = d["docs_table"].filter(pa.array(keep))
         doc_offsets = np.cumsum([0] + [len(d["docs_table"]) for d in decoded[:-1]])
         new_base = np.uint64(new_shard) << np.uint64(SHARD_BITS)
 
@@ -135,8 +159,8 @@ class SegmentMerger:
         pos_parts, pos_len = [], []
         for si, d in enumerate(decoded):
             gids.append(seg_term_maps[si][d["term_ord"]])
-            old_local = d["docids"] & np.uint64((1 << SHARD_BITS) - 1)
-            docids.append(new_base | (old_local + np.uint64(doc_offsets[si])))
+            new_local = d["remap"][d["local_kept"]].astype(np.uint64)
+            docids.append(new_base | (new_local + np.uint64(doc_offsets[si])))
             tfs.append(d["tfs"])
         gids = np.concatenate(gids)
         docids = np.concatenate(docids)
@@ -188,12 +212,13 @@ class SegmentMerger:
             post_cols["pos_offs"] = pos_offs
         postings = pa.table(post_cols)
 
-        # docs table: concat with remapped docids
+        # docs table: concat with remapped docids (rows already tombstone-filtered)
         doc_tables = []
         for si, d in enumerate(decoded):
             t = d["docs_table"]
-            old_local = t["docid"].to_numpy().astype(np.uint64) & np.uint64((1 << SHARD_BITS) - 1)
-            new_ids = (new_base | (old_local + np.uint64(doc_offsets[si]))).astype(np.int64)
+            new_ids = (
+                new_base | (np.arange(len(t), dtype=np.uint64) + np.uint64(doc_offsets[si]))
+            ).astype(np.int64)
             t = t.set_column(t.schema.get_field_index("docid"), "docid", pa.array(new_ids))
             doc_tables.append(t)
         docs_table = pa.concat_tables(doc_tables, promote_options="default")
@@ -239,11 +264,22 @@ def merge_index(
         segments=segments,
         metrics={**src.metrics, "merged_from": len(src.segments)},
     )
-    # carry the global term stats over (unchanged by merging)
-    stats_src = os.path.join(index_dir, "termstats.parquet")
-    if os.path.exists(stats_src) and os.path.abspath(index_dir) != os.path.abspath(out_dir):
-        import shutil
-
-        shutil.copyfile(stats_src, os.path.join(out_dir, "termstats.parquet"))
+    # recompute global term stats from the merged segments (tombstoned docs
+    # were expunged, so df/cf may have shrunk)
+    parts = [
+        pq.read_table(os.path.join(out_dir, s.path, "postings.parquet"), columns=["term", "df", "cf"])
+        for s in segments
+    ]
+    stats = (
+        pa.concat_tables(parts)
+        .group_by("term")
+        .aggregate([("df", "sum"), ("cf", "sum")])
+        .rename_columns(["term", "df", "cf"])
+        .sort_by("term")
+        if parts
+        else pa.table({"term": [], "df": [], "cf": []})
+    )
+    pq.write_table(stats, os.path.join(out_dir, "termstats.parquet"))
+    manifest.metrics["num_terms_global"] = len(stats)
     manifest.save(out_dir)
     return manifest

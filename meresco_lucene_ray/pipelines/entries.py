@@ -136,8 +136,10 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
         b=B,
     )
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        # derive the tie-free dedup-sort column, stage to parquet, then run
+        # the zero-shuffle file-partitioned build
+        staged = os.path.join(idx_dir, "staged")
         ds = rd.read_parquet(src)
-        # derived unique dedup-sort column: n_chars*100000 + doc_id (tie-free)
         ds = ds.map_batches(
             lambda t: t.append_column(
                 "nc_did",
@@ -148,7 +150,8 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
             ),
             batch_format="pyarrow",
         )
-        build_index(ds, idx_dir, cfg)
+        ds.write_parquet(staged)
+        build_index(staged, idx_dir, cfg, target_docs_per_segment=1500)
     s = IndexSearcher(idx_dir, num_actors=4, score_f32=False, num_cpus=0.25)
     _SEARCHERS[sf_dir] = s
     return s

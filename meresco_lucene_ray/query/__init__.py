@@ -1,4 +1,5 @@
 from .ast import (
+    GeoDistanceQ,
     TermQ,
     BoolQ,
     PhraseQ,
@@ -14,6 +15,7 @@ from .scorer import bm25_idf, bm25_tf_weight, BM25, TermFrequencySimilarity
 from .engine import IndexSearcher, SearchResult
 
 __all__ = [
+    "GeoDistanceQ",
     "TermQ",
     "BoolQ",
     "PhraseQ",

@@ -82,6 +82,20 @@ class DocValEqQ:
 
 
 @dataclass(frozen=True)
+class GeoDistanceQ:
+    """Lat/lon radius filter (DistanceQuery analog,
+    JsonQueryConverter.java:330-339): docs whose stored lat/lon columns fall
+    within ``radius_m`` meters (haversine) of the center; constant-score."""
+
+    lat_col: str
+    lon_col: str
+    lat: float
+    lon: float
+    radius_m: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class KeyFilterQ:
     """Broadcast key-bitset semi-join filter, the Ray-native KeyFilter
     (/root/reference/src/org/meresco/lucene/queries/KeyFilter.java:46-124).

@@ -40,8 +40,10 @@ MAX_RETRY_K = 10000  # paging retry cap (Lucene.java:312-319)
 class _SegmentActorImpl:
     """Holds several segments; all per-segment methods fan in here."""
 
-    def __init__(self, index_dir: str, seg_paths: list[str]):
-        self.searchers = [SegmentSearcher(os.path.join(index_dir, p)) for p in seg_paths]
+    def __init__(self, index_dir: str, seg_paths: list[str], tombstones: dict | None = None):
+        self.searchers = [
+            SegmentSearcher(os.path.join(index_dir, p), tombstones) for p in seg_paths
+        ]
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         out: dict[str, int] = {}
@@ -146,18 +148,42 @@ class IndexSearcher:
         import ray
 
         self.index_dir = index_dir
-        self.manifest = IndexManifest.load(index_dir)
+        self._num_actors = num_actors
+        self._num_cpus = num_cpus
         self.score_f32 = score_f32
-        self.sim = similarity or BM25(
+        self._similarity = similarity
+        self._cache: dict = {}  # LRU(50) key/score collector cache (ST3)
+        self._open(IndexManifest.load(index_dir))
+
+    def _open(self, manifest) -> None:
+        import ray
+
+        from ..index.build import load_tombstones
+
+        self.manifest = manifest
+        self.sim = self._similarity or BM25(
             k1=self.manifest.config.get("k1", 0.9), b=self.manifest.config.get("b", 0.4)
         )
+        tombstones = load_tombstones(self.index_dir) or None
         segs = [s.path for s in self.manifest.segments]
-        n_act = min(num_actors or max(1, len(segs)), max(1, len(segs)))
+        n_act = min(self._num_actors or max(1, len(segs)), max(1, len(segs)))
         assign: list[list[str]] = [[] for _ in range(n_act)]
         for i, p in enumerate(segs):
             assign[i % n_act].append(p)
-        Actor = ray.remote(num_cpus=num_cpus)(_SegmentActorImpl)
-        self.actors = [Actor.remote(index_dir, paths) for paths in assign if paths]
+        Actor = ray.remote(num_cpus=self._num_cpus)(_SegmentActorImpl)
+        self.actors = [Actor.remote(self.index_dir, paths, tombstones) for paths in assign if paths]
+
+    def refresh(self) -> bool:
+        """NRT refresh (SearcherTaxonomyManager.maybeRefreshBlocking analog,
+        Lucene.java:899-907): reload the manifest; when its version changed,
+        reopen the actors and clear the collector caches
+        (cache invalidation per Lucene.java:940-941,993-1013)."""
+        m = IndexManifest.load(self.index_dir)
+        if m.version == self.manifest.version:
+            return False
+        self._cache.clear()
+        self._open(m)
+        return True
 
     # ---- helpers --------------------------------------------------------
     def _stats(self, q) -> dict:
@@ -314,29 +340,47 @@ class IndexSearcher:
         stats = self._stats(q)
         return sum(ray.get([a.count.remote(q, self.sim, stats) for a in self.actors]))
 
+    def _cached(self, kind: str, q, key_col: str, size: int, compute):
+        """keyCollectorCache / scoreCollectorCache analog: LRU(50) keyed by
+        (query, key, manifest version) — Lucene.java:737-752,783-791."""
+        key = (kind, repr(q), key_col, size, self.manifest.version)
+        if key in self._cache:
+            return self._cache[key]
+        val = compute()
+        if len(self._cache) >= 50:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = val
+        return val
+
     def collect_keys(self, q, key_col: str, size: int) -> np.ndarray:
         """KeySuperCollector analog: OR-merged bitset over key values of
         matching docs; returns bool[size]."""
         import ray
 
-        stats = self._stats(q)
-        packed = ray.get(
-            [a.collect_keys.remote(q, self.sim, stats, key_col, size) for a in self.actors]
-        )
-        bs = np.zeros(size, dtype=bool)
-        for p in packed:
-            bs |= np.unpackbits(p, count=size).astype(bool)
-        return bs
+        def compute():
+            stats = self._stats(q)
+            packed = ray.get(
+                [a.collect_keys.remote(q, self.sim, stats, key_col, size) for a in self.actors]
+            )
+            bs = np.zeros(size, dtype=bool)
+            for p in packed:
+                bs |= np.unpackbits(p, count=size).astype(bool)
+            return bs
+
+        return self._cached("keys", q, key_col, size, compute)
 
     def key_max_scores(self, q, key_col: str, size: int) -> np.ndarray:
         """AggregateScoreSuperCollector input: per-key max score."""
         import ray
 
-        stats = self._stats(q)
-        parts = ray.get(
-            [a.key_max_scores.remote(q, self.sim, stats, key_col, size) for a in self.actors]
-        )
-        return np.maximum.reduce(parts) if parts else np.zeros(size)
+        def compute():
+            stats = self._stats(q)
+            parts = ray.get(
+                [a.key_max_scores.remote(q, self.sim, stats, key_col, size) for a in self.actors]
+            )
+            return np.maximum.reduce(parts) if parts else np.zeros(size)
+
+        return self._cached("scores", q, key_col, size, compute)
 
     def key_value_array(self, key_col: str, val_col: str, size: int) -> np.ndarray:
         """key → value array over the whole core (last write per key wins, by
@@ -382,6 +426,32 @@ class IndexSearcher:
 
     def num_docs(self) -> int:
         return self.manifest.num_docs
+
+    def fieldnames(self) -> list[str]:
+        """fieldnames response (Lucene.java:676-690): the queryable fields —
+        the text field plus stored docvalue columns."""
+        cfg = self.manifest.config
+        return sorted({cfg.get("text_col", "content"), *cfg.get("stored_cols", ())})
+
+    def spell_suggest(self, term: str, count: int = 10, mode: str = "NOT_IN_INDEX"):
+        """Q14 spell suggestions over the live term dictionary."""
+        from ..suggest.spell import spell_suggest as _ss
+
+        return _ss(self.all_term_stats(), term, count=count, mode=mode)
+
+    def more_like_this(self, doc_id: str, text: str, stop: int = 10) -> SearchResult:
+        """Q15 similarDocuments (Lucene.java:818-846): OR-query of the doc's
+        terms, MUST_NOT itself; caller provides the doc's text (stored
+        content is not kept in the index)."""
+        from ..analysis import tokenize
+        from .ast import DocValEqQ, TermQ
+
+        terms = sorted(set(tokenize(text)))
+        q = BoolQ(
+            should=tuple(TermQ(t) for t in terms),
+            must_not=(DocValEqQ("__id__", doc_id),),
+        )
+        return self.execute(q, stop=stop)
 
     def fetch(self, docids: Sequence[int], cols: Sequence[str]) -> pa.Table:
         import ray

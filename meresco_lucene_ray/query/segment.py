@@ -32,6 +32,7 @@ from ..index.codec import decode_postings, decode_positions, delta_decode, varin
 from .ast import (
     BoolQ,
     DocValEqQ,
+    GeoDistanceQ,
     KeyFilterQ,
     MatchAllQ,
     PhraseQ,
@@ -47,7 +48,7 @@ MISSING_LAST = object()
 
 
 class SegmentSearcher:
-    def __init__(self, seg_dir: str):
+    def __init__(self, seg_dir: str, tombstones: dict[str, int] | None = None):
         post = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
         self.terms: list[str] = post["term"].to_pylist()
         self.term_idx: dict[str, int] = {t: i for i, t in enumerate(self.terms)}
@@ -66,6 +67,22 @@ class SegmentSearcher:
         self.dl = self.docs["dl"].to_numpy().astype(np.float64)
         self._col_cache: dict[str, np.ndarray] = {}
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # tombstone mask (updateDocument/deleteDocument semantics): a doc is
+        # dead when its __id__ is tombstoned with before_shard > this shard.
+        # Like Lucene, dead docs stop matching immediately but still count in
+        # df/avgdl until a merge rewrites the segment.
+        self.shard = int(self.docid[0]) >> SHARD_BITS if self.n else 0
+        self.live: np.ndarray | None = None
+        if tombstones:
+            ids = self.docs["__id__"].to_pylist()
+            dead = np.fromiter(
+                (tombstones.get(i, -1) > self.shard for i in ids), dtype=bool, count=len(ids)
+            )
+            if dead.any():
+                self.live = ~dead
+
+    def _apply_live(self, mask: np.ndarray) -> np.ndarray:
+        return mask & self.live if self.live is not None else mask
 
     # ---- raw access -----------------------------------------------------
     def col(self, name: str) -> np.ndarray:
@@ -154,6 +171,17 @@ class SegmentSearcher:
         if isinstance(q, DocValEqQ):
             vals = self.col(q.col)
             mask = vals == q.value
+            return mask, np.where(mask, q.boost, 0.0)
+        if isinstance(q, GeoDistanceQ):
+            lat = np.radians(self.col(q.lat_col).astype(np.float64))
+            lon = np.radians(self.col(q.lon_col).astype(np.float64))
+            qlat, qlon = np.radians(q.lat), np.radians(q.lon)
+            a = (
+                np.sin((lat - qlat) / 2) ** 2
+                + np.cos(lat) * np.cos(qlat) * np.sin((lon - qlon) / 2) ** 2
+            )
+            dist_m = 2 * 6371000.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+            mask = dist_m <= q.radius_m
             return mask, np.where(mask, q.boost, 0.0)
         if isinstance(q, KeyFilterQ):
             keys = self.col(q.key_col).astype(np.int64)
@@ -282,6 +310,7 @@ class SegmentSearcher:
         """Per-segment top-k (TopScoreDocSuperCollector / TopFieldSuperCollector
         analog). Ties broken by docid asc for determinism."""
         mask, scores = self.eval(q, sim, stats)
+        mask = self._apply_live(mask)
         adj = stats.get("rank_adjust")
         if adj is not None:
             # AggregateScoreSuperCollector blend (J5): newScore =
@@ -358,12 +387,13 @@ class SegmentSearcher:
 
     def count(self, q, sim: BM25, stats: dict) -> int:
         mask, _ = self.eval(q, sim, stats)
-        return int(mask.sum())
+        return int(self._apply_live(mask).sum())
 
     def facet_counts(self, q, sim: BM25, stats: dict, col: str) -> dict[Any, int]:
         """Per-segment facet term counts (FacetSuperCollector analog:
         per-slice count arrays merged by the engine)."""
         mask, _ = self.eval(q, sim, stats)
+        mask = self._apply_live(mask)
         vals = self.col(col)[mask]
         uniq, cnt = np.unique(vals, return_counts=True)
         return {v: int(c) for v, c in zip(uniq.tolist(), cnt.tolist())}
@@ -376,6 +406,7 @@ class SegmentSearcher:
         for every dedup key seen: count, best-scoring doc (group rank) and the
         representative = doc with max sort_col (ties → min docid)."""
         mask, scores = self.eval(q, sim, stats)
+        mask = self._apply_live(mask)
         if stats.get("f32", True):
             scores = scores.astype(np.float32).astype(np.float64)  # float32 like Lucene
         idx = np.flatnonzero(mask)
@@ -408,6 +439,7 @@ class SegmentSearcher:
         """KeyCollector analog: bitset over key values of matching docs
         (/root/reference/src/org/meresco/lucene/search/join/KeyCollector.java:37-78)."""
         mask, _ = self.eval(q, sim, stats)
+        mask = self._apply_live(mask)
         keys = self.col(key_col).astype(np.int64)[mask]
         bs = np.zeros(size, dtype=bool)
         keys = keys[(keys >= 0) & (keys < size)]
@@ -418,6 +450,7 @@ class SegmentSearcher:
         """ScoreSuperCollector analog: per-key max score array
         (/root/reference/src/org/meresco/lucene/search/ScoreSuperCollector.java:96-140)."""
         mask, scores = self.eval(q, sim, stats)
+        mask = self._apply_live(mask)
         keys = self.col(key_col).astype(np.int64)
         ok = mask & (keys >= 0) & (keys < size)
         out = np.zeros(size, dtype=np.float64)
