@@ -102,33 +102,75 @@ class TokenizeStage:
         self.shard_offset = shard_offset
         self._tokenizer = make_tokenizer(cfg.analyzer, cfg.ascii_folding, cfg.stem)
 
+    def _tokens_arrow(self, col: pa.ChunkedArray):
+        """Arrow-native tokenization for the frozen default spec: utf8_lower →
+        split on [^a-z0-9_]+ → drop empties — everything in C, zero Python
+        string objects (the object-array path saturates memory bandwidth at
+        high task concurrency).  Returns (codes int64, doc_idx, pos_in_doc,
+        dictionary StringArray, dl int32)."""
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(col)
+        lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = lists.values
+        n_per_doc = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), n_per_doc)
+        # drop empty tokens (split artifacts at separators/boundaries)
+        nonempty = pc.not_equal(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(nonempty)
+        enc = pc.dictionary_encode(values.filter(pa.array(nonempty)))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = doc_idx[keep]
+        # kept tokens stay doc-contiguous and ordered → position within doc =
+        # global rank − doc's first rank
+        dl64 = np.bincount(doc_idx, minlength=len(lists))
+        doc_starts = np.concatenate(([0], np.cumsum(dl64)[:-1]))
+        pos_in_doc = np.arange(doc_idx.size, dtype=np.int64) - doc_starts[doc_idx]
+        return codes, doc_idx, pos_in_doc, enc.dictionary, dl64.astype(np.int32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch[cfg.text_col].to_pylist()
         if cfg.id_col:
             ids = [str(x) for x in batch[cfg.id_col].to_pylist()]
         else:
             parts = [batch[c].to_pylist() for c in cfg.id_from]
             ids = [":".join(str(v) for v in row) for row in zip(*parts)]
-        toks = self._tokenizer(texts)
-        ndocs = len(toks)
-        dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=ndocs)
+        ndocs = len(batch)
 
-        # batch-global vectorized (doc, term, positions) aggregation:
-        # flatten all tokens, one np.unique, one lexsort — no per-doc loops
-        from itertools import chain
+        if cfg.analyzer == "standard" and not cfg.ascii_folding and cfg.stem is None:
+            inv, doc_idx, pos_in_doc, dictionary, dl = self._tokens_arrow(batch[cfg.text_col])
+            uniq = None  # strings stay in Arrow; take() from dictionary below
+        else:
+            # configurable-analyzer fallback: python tokenizer + factorize
+            texts = batch[cfg.text_col].to_pylist()
+            toks = self._tokenizer(texts)
+            dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=ndocs)
+            from itertools import chain
 
-        flat = np.array(list(chain.from_iterable(toks)), dtype=object)
-        lengths = dl.astype(np.int64)
-        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
-        pos_in_doc = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lengths)
-        if flat.size:
-            import pandas as pd
+            flat = np.array(list(chain.from_iterable(toks)), dtype=object)
+            lengths = dl.astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+            pos_in_doc = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lengths)
+            if flat.size:
+                import pandas as pd
 
-            inv, uniques = pd.factorize(flat, sort=False)
-            uniq = np.asarray(uniques, dtype=object)
-            order = np.lexsort((pos_in_doc, inv, doc_idx))
+                inv, uniques = pd.factorize(flat, sort=False)
+                dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
+            else:
+                inv = np.empty(0, dtype=np.int64)
+                dictionary = pa.array([], type=pa.string())
+
+        if inv.size:
+            # single-key stable sort on (doc, term): input is already
+            # pos-ascending within each doc, and stable sort preserves it —
+            # one argsort instead of lexsort's three passes (memory-bound)
+            n_dict = int(inv.max()) + 1
+            order = np.argsort(doc_idx * n_dict + inv, kind="stable")
             di, ti, pi = doc_idx[order], inv[order], pos_in_doc[order]
             run_start = np.ones(di.size, dtype=bool)
             run_start[1:] = (di[1:] != di[:-1]) | (ti[1:] != ti[:-1])
@@ -137,7 +179,6 @@ class TokenizeStage:
             run_tf = np.diff(run_bounds).astype(np.int32)
             runs_per_doc = np.bincount(di[run_ids], minlength=ndocs)
         else:
-            uniq = np.empty(0, dtype=object)
             run_ids = np.empty(0, dtype=np.int64)
             run_bounds = np.zeros(1, dtype=np.int64)
             run_tf = np.empty(0, dtype=np.int32)
@@ -146,7 +187,13 @@ class TokenizeStage:
             pi = np.empty(0, dtype=np.int64)
 
         outer_off = np.concatenate(([0], np.cumsum(runs_per_doc))).astype(np.int32)
-        term_values = pa.array(uniq[ti[run_ids]].tolist() if run_ids.size else [], type=pa.string())
+        term_values = (
+            pa.compute.take(dictionary, pa.array(ti[run_ids]))
+            if run_ids.size
+            else pa.array([], type=pa.string())
+        )
+        if term_values.type != pa.string():
+            term_values = term_values.cast(pa.string())
         terms_col = pa.ListArray.from_arrays(pa.array(outer_off), term_values)
         tfs_col = pa.ListArray.from_arrays(pa.array(outer_off), pa.array(run_tf))
 
@@ -164,7 +211,10 @@ class TokenizeStage:
             cols["positions"] = pa.ListArray.from_arrays(pa.array(outer_off), inner)
         if cfg.hash_content:
             cols["content_sha256"] = pa.array(
-                [hashlib.sha256((t or "").encode()).hexdigest() for t in texts],
+                [
+                    hashlib.sha256((t or "").encode()).hexdigest()
+                    for t in batch[cfg.text_col].to_pylist()
+                ],
                 type=pa.string(),
             )
         for c in cfg.stored_cols:
@@ -214,26 +264,29 @@ class SegmentBuilder:
         # ---- flatten per-doc term lists, vectorized posting construction
         terms_col = group["terms"].combine_chunks()
         tfs_col = group["tfs"].combine_chunks()
+        import pyarrow.compute as pc_
+
         t_offsets = terms_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = np.diff(t_offsets)
-        flat_terms = terms_col.values.to_numpy(zero_copy_only=False)
         flat_tfs = tfs_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
 
-        # hash-factorize term strings (O(n), no string sort), then rank-remap
-        # codes so the term dictionary comes out lexicographically sorted
-        # (the searcher's prefix scan bisects the sorted term column)
-        import pandas as pd
-
-        codes, uniques = pd.factorize(flat_terms, sort=False)
-        uniq_arr = np.asarray(uniques, dtype=object)
-        rank_order = np.argsort(uniq_arr)
+        # Arrow dictionary-encode the term strings (C, no Python objects),
+        # then rank-remap codes so the term dictionary comes out
+        # lexicographically sorted (the searcher's prefix scan bisects it)
+        enc = pc_.dictionary_encode(terms_col.values)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_arr = enc.dictionary
+        rank_order = pc_.sort_indices(dict_arr).to_numpy(zero_copy_only=False).astype(np.int64)
         rank = np.empty(rank_order.size, dtype=np.int64)
         rank[rank_order] = np.arange(rank_order.size)
         term_ids = rank[codes]
-        uniq = uniq_arr[rank_order]
+        uniq_sorted_arrow = pc_.take(dict_arr, pa.array(rank_order))
 
-        sort = np.lexsort((doc_idx, term_ids))
+        # docs are docid-ascending in input → stable sort on term alone
+        sort = np.argsort(term_ids, kind="stable")
         t_sorted = term_ids[sort]
         d_sorted = doc_idx[sort]
         tf_sorted = flat_tfs[sort]
@@ -245,7 +298,7 @@ class SegmentBuilder:
             term_starts = np.zeros(0, dtype=np.int64)
         bounds = np.concatenate((term_starts, [t_sorted.size])).astype(np.int64)
 
-        rows_term = uniq.tolist()
+        rows_term = uniq_sorted_arrow
         rows_df = np.diff(bounds).astype(np.int64)
         rows_cf = np.add.reduceat(tf_sorted, bounds[:-1]).astype(np.int64) if t_sorted.size else np.zeros(0, dtype=np.int64)
 
@@ -272,7 +325,9 @@ class SegmentBuilder:
             pos_col, pos_offs = encode_segment_positions(bounds, positions_flat, out_starts)
 
         post_cols = {
-            "term": pa.array(rows_term, type=pa.string()),
+            "term": rows_term.cast(pa.string())
+            if rows_term.type != pa.string()
+            else rows_term,
             "df": pa.array(rows_df, type=pa.int64()),
             "cf": pa.array(rows_cf, type=pa.int64()),
             "docs": docs_col,
@@ -435,9 +490,11 @@ def load_tombstones(index_dir: str) -> dict[str, int]:
 
 
 def _plan_file_units(paths: list[str], target_docs: int) -> list[dict]:
-    """Split input parquet files into (path, row-group range) units of
-    ~target_docs rows — the segment planning step.  Unit order (and thus
-    shard ids and docids) is deterministic: sorted by path, then range."""
+    """Split input parquet files into (path, row-group range[, row slice])
+    units of ~target_docs rows — the segment planning step.  A row group
+    larger than 2×target is sub-split by row ranges so parallelism never
+    degrades to the writer's row-group size.  Unit order (and thus shard ids
+    and docids) is deterministic: sorted by path, then range."""
     units: list[dict] = []
     for path in sorted(paths):
         md = pq.read_metadata(path)
@@ -445,9 +502,29 @@ def _plan_file_units(paths: list[str], target_docs: int) -> list[dict]:
         start = 0
         acc = 0
         for i, nrows in enumerate(rg_rows):
+            if nrows >= 2 * target_docs:
+                # flush any accumulated smaller groups first
+                if acc:
+                    units.append(
+                        {"path": path, "rg_start": start, "rg_end": i, "row_start": -1, "row_len": -1, "rows": acc}
+                    )
+                # sub-split the big row group by row ranges
+                nsplits = (nrows + target_docs - 1) // target_docs
+                per = (nrows + nsplits - 1) // nsplits
+                for off in range(0, nrows, per):
+                    ln = min(per, nrows - off)
+                    units.append(
+                        {"path": path, "rg_start": i, "rg_end": i + 1, "row_start": off, "row_len": ln, "rows": ln}
+                    )
+                start = i + 1
+                acc = 0
+                continue
             acc += nrows
             if acc >= target_docs or i == len(rg_rows) - 1:
-                units.append({"path": path, "rg_start": start, "rg_end": i + 1, "rows": acc})
+                if acc:
+                    units.append(
+                        {"path": path, "rg_start": start, "rg_end": i + 1, "row_start": -1, "row_len": -1, "rows": acc}
+                    )
                 start = i + 1
                 acc = 0
     for i, u in enumerate(units):
@@ -475,11 +552,18 @@ class FileSegmentBuilder:
 
     def __call__(self, batch) -> pa.Table:
         out = []
-        for path, rg_start, rg_end, shard in zip(
-            batch["path"], batch["rg_start"], batch["rg_end"], batch["shard"]
+        for path, rg_start, rg_end, row_start, row_len, shard in zip(
+            batch["path"],
+            batch["rg_start"],
+            batch["rg_end"],
+            batch["row_start"],
+            batch["row_len"],
+            batch["shard"],
         ):
             f = pq.ParquetFile(path)
             table = f.read_row_groups(list(range(int(rg_start), int(rg_end))))
+            if int(row_start) >= 0:
+                table = table.slice(int(row_start), int(row_len))
             cols = [self.cfg.text_col, *self.cfg.id_from, *self.cfg.stored_cols]
             if self.cfg.id_col:
                 cols.append(self.cfg.id_col)

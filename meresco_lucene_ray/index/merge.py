@@ -165,7 +165,10 @@ class SegmentMerger:
         gids = np.concatenate(gids)
         docids = np.concatenate(docids)
         tfs = np.concatenate(tfs)
-        sort = np.lexsort((docids, gids))
+        # stable sort on term id alone: per-segment postings are docid-
+        # ascending, segments are concatenated in ascending remapped-docid
+        # ranges, so stability yields docid-ascending postings per term
+        sort = np.argsort(gids, kind="stable")
         g_sorted, d_sorted, tf_sorted = gids[sort], docids[sort], tfs[sort]
         term_starts = (
             np.concatenate(([0], np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1)).astype(np.int64)
