@@ -303,7 +303,7 @@ class SegmentBuilder:
         rows_cf = np.add.reduceat(tf_sorted, bounds[:-1]).astype(np.int64) if t_sorted.size else np.zeros(0, dtype=np.int64)
 
         # one vectorized encode pass for the whole segment's postings
-        docs_col, tfs_col_enc, blk_last, blk_maxtf = encode_segment_postings(
+        docs_col, tfs_col_enc, blk_last, blk_maxtf, blk_doc_off, blk_tf_off = encode_segment_postings(
             term_starts, docids_global[d_sorted], tf_sorted
         )
 
@@ -334,6 +334,8 @@ class SegmentBuilder:
             "tfs": tfs_col_enc,
             "blk_last": blk_last,
             "blk_maxtf": blk_maxtf,
+            "blk_doc_off": blk_doc_off,
+            "blk_tf_off": blk_tf_off,
         }
         if cfg.store_positions:
             post_cols["pos"] = pos_col

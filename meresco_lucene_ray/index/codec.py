@@ -113,27 +113,37 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 
 def encode_postings(docids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes, np.ndarray, np.ndarray]:
-    """Encode one term's postings (docids sorted asc).
+    """Encode one term's postings (docids sorted asc); gaps reset at block
+    starts so blocks decode independently.
 
     Returns (docs_buf, tfs_buf, block_last_doc[int64], block_max_tf[int32]).
     """
     docids = np.asarray(docids, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint64)
-    docs_buf = varint_encode(delta_encode(docids))
-    tfs_buf = varint_encode(tfs)
     n = docids.size
+    starts = np.arange(0, n, BLOCK_SIZE)
+    docs_buf = varint_encode(grouped_delta(docids, starts))
+    tfs_buf = varint_encode(tfs)
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     last = docids[np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE - 1, n - 1)].astype(np.int64)
-    # block max tf via reduceat on block starts
-    starts = np.arange(0, n, BLOCK_SIZE)
     maxtf = np.maximum.reduceat(tfs, starts).astype(np.int32)
     return docs_buf, tfs_buf, last, maxtf
 
 
 def decode_postings(docs_buf: bytes, tfs_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one term's postings -> (docids uint64 asc, tfs uint64)."""
+    """Decode one term's postings -> (docids uint64 asc, tfs uint64).
+
+    Gap values reset every BLOCK_SIZE postings (independent blocks)."""
     gaps = varint_decode(docs_buf)
-    docids = delta_decode(gaps)
+    n = gaps.size
+    if n:
+        starts = np.arange(0, n, BLOCK_SIZE)
+        lengths = np.diff(np.concatenate((starts, [n])))
+        cs = np.cumsum(gaps, dtype=np.uint64)
+        base = cs[starts] - gaps[starts]
+        docids = cs - np.repeat(base, lengths)
+    else:
+        docids = gaps
     tfs = varint_decode(tfs_buf)
     return docids, tfs
 
@@ -186,7 +196,17 @@ def encode_segment_postings(term_starts: np.ndarray, docids: np.ndarray, tfs: np
     docids = np.asarray(docids, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint64)
     bounds = np.concatenate((term_starts, [docids.size])).astype(np.int64)
-    gaps = grouped_delta(docids, term_starts.astype(np.int64))
+
+    # block structure first: gaps reset at EVERY block start (not just term
+    # starts) so any block can be decoded independently — the skip-read path
+    n_per_term = np.diff(bounds)
+    nblocks = (n_per_term + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_bounds = np.concatenate(([0], np.cumsum(nblocks))).astype(np.int64)
+    term_of_blk, blk_within = _segments_arange(blk_bounds)
+    starts_g = bounds[:-1][term_of_blk] + blk_within * BLOCK_SIZE
+    ends_g = np.minimum(starts_g + BLOCK_SIZE, bounds[1:][term_of_blk])
+
+    gaps = grouped_delta(docids, starts_g.astype(np.int64))
     docs_all, docs_nb = varint_encode_with_sizes(gaps)
     tfs_all, tfs_nb = varint_encode_with_sizes(tfs)
     docs_off = np.concatenate(([0], np.cumsum(docs_nb)))
@@ -194,13 +214,6 @@ def encode_segment_postings(term_starts: np.ndarray, docids: np.ndarray, tfs: np
     docs_col = _spans_to_large_binary(docs_all, docs_off[bounds])
     tfs_col = _spans_to_large_binary(tfs_all, tfs_off[bounds])
 
-    # block metadata, globally vectorized: per-term chunks of BLOCK_SIZE
-    n_per_term = np.diff(bounds)
-    nblocks = (n_per_term + BLOCK_SIZE - 1) // BLOCK_SIZE
-    blk_bounds = np.concatenate(([0], np.cumsum(nblocks))).astype(np.int64)
-    term_of_blk, blk_within = _segments_arange(blk_bounds)
-    starts_g = bounds[:-1][term_of_blk] + blk_within * BLOCK_SIZE
-    ends_g = np.minimum(starts_g + BLOCK_SIZE, bounds[1:][term_of_blk])
     last_doc = docids[ends_g - 1].astype(np.int64) if starts_g.size else np.zeros(0, np.int64)
     maxtf = (
         np.maximum.reduceat(tfs, starts_g).astype(np.int32)
@@ -209,7 +222,27 @@ def encode_segment_postings(term_starts: np.ndarray, docids: np.ndarray, tfs: np
     )
     blk_last = pa.ListArray.from_arrays(pa.array(blk_bounds.astype(np.int32)), pa.array(last_doc))
     blk_maxtf = pa.ListArray.from_arrays(pa.array(blk_bounds.astype(np.int32)), pa.array(maxtf))
-    return docs_col, tfs_col, blk_last, blk_maxtf
+    # per-block byte offsets (term-relative) enabling partial block decode:
+    # nblocks+1 entries per term (final = term buffer length)
+    off_bounds = (blk_bounds + np.arange(blk_bounds.size)).astype(np.int64)
+    blk_starts_plus_end = np.empty(int(off_bounds[-1]), dtype=np.int64)
+    # fill: for each term, its block starts then its end posting index
+    term_of_e, within_e = _segments_arange(off_bounds)
+    is_end = within_e == (off_bounds[term_of_e + 1] - off_bounds[term_of_e] - 1)
+    posting_ix = np.where(
+        is_end, bounds[1:][term_of_e], bounds[:-1][term_of_e] + within_e * BLOCK_SIZE
+    )
+    term_byte_base_d = docs_off[bounds[:-1]][term_of_e]
+    term_byte_base_t = tfs_off[bounds[:-1]][term_of_e]
+    blk_doc_off = pa.ListArray.from_arrays(
+        pa.array(off_bounds.astype(np.int32)),
+        pa.array((docs_off[posting_ix] - term_byte_base_d).astype(np.int64)),
+    )
+    blk_tf_off = pa.ListArray.from_arrays(
+        pa.array(off_bounds.astype(np.int32)),
+        pa.array((tfs_off[posting_ix] - term_byte_base_t).astype(np.int64)),
+    )
+    return docs_col, tfs_col, blk_last, blk_maxtf, blk_doc_off, blk_tf_off
 
 
 def encode_segment_positions(

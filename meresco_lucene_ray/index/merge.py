@@ -47,6 +47,8 @@ def _decode_whole_segment(seg_dir: str):
     Returns dict with: terms (object[] per term), df, per-posting
     (term_ord, docid_local, tf), and flat positions (+ posting starts) or None.
     """
+    from .codec import BLOCK_SIZE, _segments_arange
+
     post = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
     df = post["df"].to_numpy()
     n_post = int(df.sum())
@@ -54,7 +56,14 @@ def _decode_whole_segment(seg_dir: str):
     docs_concat = b"".join(post["docs"].to_pylist())
     tfs_concat = b"".join(post["tfs"].to_pylist())
     gaps = varint_decode(docs_concat)
-    docids = _grouped_cumsum(gaps, term_starts, df.astype(np.int64))
+    # gaps reset at every block start within each term
+    bounds = np.concatenate((term_starts, [n_post])).astype(np.int64)
+    nblocks = (np.diff(bounds) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_bounds = np.concatenate(([0], np.cumsum(nblocks))).astype(np.int64)
+    term_of_blk, blk_within = _segments_arange(blk_bounds)
+    starts_g = (bounds[:-1][term_of_blk] + blk_within * BLOCK_SIZE).astype(np.int64)
+    blk_lengths = np.minimum(starts_g + BLOCK_SIZE, bounds[1:][term_of_blk]) - starts_g
+    docids = _grouped_cumsum(gaps, starts_g, blk_lengths)
     tfs = varint_decode(tfs_concat)
     term_ord = np.repeat(np.arange(len(df), dtype=np.int64), df.astype(np.int64))
     out = {
@@ -176,7 +185,7 @@ class SegmentMerger:
             else np.zeros(0, dtype=np.int64)
         )
         bounds = np.concatenate((term_starts, [g_sorted.size])).astype(np.int64)
-        docs_col, tfs_col, blk_last, blk_maxtf = encode_segment_postings(
+        docs_col, tfs_col, blk_last, blk_maxtf, blk_doc_off, blk_tf_off = encode_segment_postings(
             term_starts, d_sorted, tf_sorted
         )
         post_cols = {
@@ -191,6 +200,8 @@ class SegmentMerger:
             "tfs": tfs_col,
             "blk_last": blk_last,
             "blk_maxtf": blk_maxtf,
+            "blk_doc_off": blk_doc_off,
+            "blk_tf_off": blk_tf_off,
         }
         if have_pos:
             # gather each posting's position span into merged (term, doc) order

@@ -34,6 +34,7 @@ from ..query import (
     PhraseQ,
     RangeQ,
     TermQ,
+    WildcardQ,
 )
 
 K1, B = 0.9, 0.4
@@ -83,16 +84,25 @@ def _score_sql(term: str, tf_alias: str, df_alias: str) -> str:
     )
 
 
-def _bm25_sql(terms: list[str], mode: str, k: int = 10, extra_where: str = "") -> str:
+def _bm25_sql(
+    terms: list[str], mode: str, k: int = 10, extra_where: str = "", boosts: list[float] | None = None, offset: int = 0
+) -> str:
     """Disjunctive (mode='or') / conjunctive (mode='and') BM25 top-k."""
+    boosts = boosts or [1.0] * len(terms)
     tf_cols = ", ".join(f"{_tf_sql(t)} AS tf{i}" for i, t in enumerate(terms))
     df_cols = ", ".join(
         f"(SELECT count(*)::DOUBLE FROM tf WHERE tf{i} > 0) AS df{i}" for i in range(len(terms))
     )
-    score_terms = " + ".join(
-        f"(CASE WHEN t.tf{i} > 0 THEN {_score_sql(t, f't.tf{i}', f'd.df{i}')} ELSE 0 END)"
-        for i, t in enumerate(terms)
-    )
+
+    def one(i, t):
+        base = _score_sql(t, f"t.tf{i}", f"d.df{i}")
+        if boosts[i] != 1.0:
+            # engine op order: (boost * idf) * w
+            idf, w = base.split(" * ", 1)
+            base = f"({boosts[i]} * {idf}) * {w}"
+        return f"(CASE WHEN t.tf{i} > 0 THEN {base} ELSE 0 END)"
+
+    score_terms = " + ".join(one(i, t) for i, t in enumerate(terms))
     match = (
         " OR ".join(f"t.tf{i} > 0" for i in range(len(terms)))
         if mode == "or"
@@ -106,7 +116,7 @@ SELECT t.doc_id, {_round4_sql(score_terms)} AS score
 FROM tf t, stats s, dfv d
 WHERE {where}
 ORDER BY ({score_terms}) DESC, t.doc_id
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
 """
 
 
@@ -662,6 +672,76 @@ def q_lsh_ann(sf_dir: str) -> pa.Table:
     )
 
 
+def q_wildcard_count(sf_dir: str) -> pa.Table:
+    """Q1 wildcard: docs containing any term matching ``s?an`` (scan/span...)."""
+    from ..query import WildcardQ
+
+    total = get_searcher(sf_dir).count(WildcardQ("s?an"))
+    return pa.table({"total": pa.array([total], type=pa.int64())})
+
+
+def q_bm25_boost(sf_dir: str) -> pa.Table:
+    """Boosted disjunction: merge^2 OR hash (BoostQuery collapse)."""
+    q = BoolQ(should=(TermQ("merge", boost=2.0), TermQ("hash")))
+    return _topk_scores(get_searcher(sf_dir), q, 10)
+
+
+def q_bm25_paging(sf_dir: str) -> pa.Table:
+    """Q6 paging window: ranks 5..15 of the 'data' result list."""
+    res = get_searcher(sf_dir).execute(TermQ("data"), stop=65, stored_fields=("doc_id",))
+    doc_id = res.hits["doc_id"].to_numpy(zero_copy_only=False)
+    score = res.hits["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_id, -score))[5:15]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[order].astype(np.int64)),
+            "score": pa.array(_round4(score[order])),
+        }
+    )
+
+
+def q_phrase3(sf_dir: str) -> pa.Table:
+    return _topk_scores(get_searcher(sf_dir), PhraseQ(("the", "fast", "key")), 10)
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window aggregate over the events stream table
+    (streaming-shaped workload; see ray_guide 'Streaming-shaped workloads'):
+    per (event_type, window): count + summed value.  Pre-aggregated per
+    batch inside map_batches, then a small groupby — the partial+final
+    combine pattern."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
+        win = ts_us // 3_600_000_000  # hours since epoch
+        g = (
+            df.assign(window=win)
+            .groupby(["event_type", "window"], as_index=False)
+            .agg(cnt=("event_id", "size"), val=("value", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("val", alias_name="val"))
+        .to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["val"] = _round2(out["val"].to_numpy())
+    out["window"] = out["window"].astype(np.int64)
+    return pa.Table.from_pandas(out[["event_type", "window", "cnt", "val"]], preserve_index=False)
+
+
 def q_cluster_topdocs(sf_dir: str) -> pa.Table:
     """Q12: cluster the top 30 'data' hits (DBSCAN + PageRank ranking)."""
     import pyarrow.parquet as pq
@@ -822,6 +902,38 @@ rep AS (
 SELECT g.source, g.duplicate_count, rep.doc_id, {_round4_sql("g.gscore")} AS score
 FROM g JOIN rep USING (source)
 """,
+    "wildcard_count": f"""{SQL_PROLOGUE}
+SELECT count(*)::BIGINT AS total FROM tok
+WHERE len(list_filter(toks, x -> regexp_full_match(x, 's.an'))) > 0
+""",
+    "bm25_boost": _bm25_sql(["merge", "hash"], "or", boosts=[2.0, 1.0]),
+    "bm25_paging": _bm25_sql(["data"], "or", k=10, offset=5),
+    "phrase3": f"""{SQL_PROLOGUE},
+pos AS (
+  SELECT doc_id, toks, unnest(toks) AS w, generate_subscripts(toks, 1) AS o FROM tok
+),
+ph AS (
+  SELECT doc_id, sum(CASE WHEN w = 'the' AND toks[o+1] = 'fast' AND toks[o+2] = 'key' THEN 1 ELSE 0 END)::DOUBLE AS tf
+  FROM pos GROUP BY doc_id
+),
+t AS (SELECT p.doc_id, p.tf, len(k.toks) AS dl FROM ph p JOIN tok k USING (doc_id)),
+dfs AS (
+  SELECT (SELECT count(*)::DOUBLE FROM tok WHERE list_contains(toks, 'the')) AS df1,
+         (SELECT count(*)::DOUBLE FROM tok WHERE list_contains(toks, 'fast')) AS df2,
+         (SELECT count(*)::DOUBLE FROM tok WHERE list_contains(toks, 'key')) AS df3
+)
+SELECT t.doc_id,
+  {_round4_sql("(ln(1 + (s.n - d.df1 + 0.5)/(d.df1 + 0.5)) + ln(1 + (s.n - d.df2 + 0.5)/(d.df2 + 0.5)) + ln(1 + (s.n - d.df3 + 0.5)/(d.df3 + 0.5))) * (t.tf/(t.tf + 0.9*(1 - 0.4 + 0.4*t.dl/s.avgdl)))")} AS score
+FROM t, stats s, dfs d
+WHERE t.tf > 0
+ORDER BY (ln(1 + (s.n - d.df1 + 0.5)/(d.df1 + 0.5)) + ln(1 + (s.n - d.df2 + 0.5)/(d.df2 + 0.5)) + ln(1 + (s.n - d.df3 + 0.5)/(d.df3 + 0.5))) * (t.tf/(t.tf + 0.9*(1 - 0.4 + 0.4*t.dl/s.avgdl))) DESC, t.doc_id
+LIMIT 10
+""",
+    "events_window": f"""
+SELECT event_type, (epoch_ms(ts) // 3600000)::BIGINT AS window,
+       count(*)::BIGINT AS cnt, {_round2_sql("sum(value)")} AS val
+FROM events GROUP BY event_type, (epoch_ms(ts) // 3600000)
+""",
     "join_semi": f"""
 SELECT o_orderpriority, count(*)::BIGINT AS cnt, {_round2_sql("sum(o_totalprice)")} AS total_price
 FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -898,6 +1010,11 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "spell_suggest": q_spell_suggest,
     "mlt_doc0": q_mlt_doc0,
     "dedup_source": q_dedup_source,
+    "wildcard_count": q_wildcard_count,
+    "bm25_boost": q_bm25_boost,
+    "bm25_paging": q_bm25_paging,
+    "phrase3": q_phrase3,
+    "events_window": q_events_window,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_unite": q_join_unite,

@@ -60,6 +60,11 @@ class SegmentSearcher:
         if self.has_positions:
             self._pos_buf = post["pos"].to_pylist()
             self._pos_offs = post["pos_offs"].to_pylist()
+        self.has_blocks = "blk_doc_off" in post.column_names
+        if self.has_blocks:
+            self._blk_last = post["blk_last"].to_pylist()
+            self._blk_doc_off = post["blk_doc_off"].to_pylist()
+            self._blk_tf_off = post["blk_tf_off"].to_pylist()
         self.docs = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.n = len(self.docs)
         self.docid = self.docs["docid"].to_numpy()
@@ -133,6 +138,45 @@ class SegmentSearcher:
         base = cs[starts] - gaps[starts]
         flat = cs - np.repeat(base, lengths)
         return flat, starts
+
+    def postings_for_candidates(
+        self, term: str, cand_local_sorted: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Block-skip read: decode ONLY the blocks that can contain the given
+        candidate docids (blk_last binary search), per the block-max skip
+        design.  Falls back to a full decode when most blocks are needed
+        anyway or block offsets are absent.  Returns (local_idx, tfs) —
+        a SUBSET of the term's postings covering all candidates."""
+        ti = self.term_idx.get(term)
+        if ti is None:
+            return None
+        blk_last = np.asarray(self._blk_last[ti], dtype=np.int64) if self.has_blocks else None
+        if blk_last is None or blk_last.size <= 2:
+            return self.postings_local(term)
+        cand_global = (cand_local_sorted + self.base).astype(np.int64)
+        bidx = np.unique(np.searchsorted(blk_last, cand_global))
+        bidx = bidx[bidx < blk_last.size]
+        if bidx.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+        if bidx.size * 2 >= blk_last.size:
+            return self.postings_local(term)
+        from ..index.codec import BLOCK_SIZE
+
+        doffs = np.asarray(self._blk_doc_off[ti], dtype=np.int64)
+        toffs = np.asarray(self._blk_tf_off[ti], dtype=np.int64)
+        dbuf, tbuf = self._docs_buf[ti], self._tfs_buf[ti]
+        dspans = b"".join(dbuf[doffs[b] : doffs[b + 1]] for b in bidx.tolist())
+        tspans = b"".join(tbuf[toffs[b] : toffs[b + 1]] for b in bidx.tolist())
+        gaps = varint_decode(dspans)
+        df = int(self.df[ti])
+        blk_sizes = np.minimum((bidx + 1) * BLOCK_SIZE, df) - bidx * BLOCK_SIZE
+        starts = np.concatenate(([0], np.cumsum(blk_sizes)[:-1])).astype(np.int64)
+        cs = np.cumsum(gaps, dtype=np.uint64)
+        base = cs[starts] - gaps[starts]
+        docids = cs - np.repeat(base, blk_sizes)
+        tfs = varint_decode(tspans)
+        local = (docids - np.uint64(self.base)).astype(np.int64)
+        return local, tfs
 
     def term_stats(self, terms: Sequence[str]) -> dict[str, int]:
         return {t: int(self.df[self.term_idx[t]]) for t in terms if t in self.term_idx}
@@ -273,14 +317,66 @@ class SegmentSearcher:
             scores[idx] = sim.score(freqs[hit], self.dl[idx], N, 0, avgdl, q.boost)
         return mask, scores
 
+    def _eval_and_terms(self, term_qs, sim: BM25, stats: dict):
+        """Conjunctive fast path: decode the rarest term fully, then read only
+        the BLOCKS of the other terms that can contain those candidates
+        (blk_last skip), intersecting as we go — document-at-a-time with
+        block skipping per the north-star design.  Scores are accumulated in
+        CLAUSE order so results are bit-identical to the dense path."""
+        n = self.n
+        infos = []
+        for tq in term_qs:
+            ti = self.term_idx.get(tq.term)
+            if ti is None:
+                return np.zeros(n, dtype=bool), np.zeros(n)
+            infos.append((tq, int(self.df[ti])))
+        order = sorted(range(len(infos)), key=lambda i: infos[i][1])
+        rare = infos[order[0]][0]
+        p = self.postings_local(rare.term)
+        cand, _ = p
+        tf_by_clause: dict[int, np.ndarray] = {order[0]: p[1]}
+        for oi in order[1:]:
+            tq = infos[oi][0]
+            sub = self.postings_for_candidates(tq.term, cand)
+            sub_local, sub_tf = sub
+            pos = np.searchsorted(sub_local, cand)
+            ok = (pos < sub_local.size) & (
+                sub_local[np.minimum(pos, max(sub_local.size - 1, 0))] == cand
+            ) if sub_local.size else np.zeros(cand.size, dtype=bool)
+            cand = cand[ok]
+            for k in tf_by_clause:
+                tf_by_clause[k] = tf_by_clause[k][ok]
+            tf_by_clause[oi] = sub_tf[pos[ok]] if sub_local.size else sub_tf[:0]
+            if cand.size == 0:
+                break
+        mask = np.zeros(n, dtype=bool)
+        scores = np.zeros(n)
+        if cand.size:
+            mask[cand] = True
+            N, avgdl, dfs = stats["N"], stats["avgdl"], stats["df"]
+            acc = np.zeros(cand.size)
+            for ci, (tq, _) in enumerate(infos):  # clause order, like the dense path
+                acc += sim.score(
+                    tf_by_clause[ci], self.dl[cand], N, dfs.get(tq.term, 0), avgdl, tq.boost
+                )
+            scores[cand] = acc
+        return mask, scores
+
     def _eval_bool(self, q: BoolQ, sim: BM25, stats: dict):
         n = self.n
         mask = None
         scores = np.zeros(n)
-        for sub in q.must:
-            m, s = self.eval(sub, sim, stats)
-            mask = m if mask is None else (mask & m)
-            scores += s
+        if (
+            len(q.must) >= 2
+            and all(isinstance(c, TermQ) for c in q.must)
+            and getattr(self, "has_blocks", False)
+        ):
+            mask, scores = self._eval_and_terms(q.must, sim, stats)
+        else:
+            for sub in q.must:
+                m, s = self.eval(sub, sim, stats)
+                mask = m if mask is None else (mask & m)
+                scores += s
         for sub in q.filter:
             m, _ = self.eval(sub, sim, stats)
             mask = m if mask is None else (mask & m)
