@@ -138,7 +138,7 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
     cfg = IndexConfig(
         text_col="text",
         id_col="doc_id",
-        stored_cols=("doc_id", "lang", "source", "n_chars", "nc_did"),
+        stored_cols=("doc_id", "lang", "source", "n_chars", "nc_did", "src_lang"),
         num_shards=4,
         store_positions=True,
         hash_content=True,
@@ -150,16 +150,19 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
         # the zero-shuffle file-partitioned build
         staged = os.path.join(idx_dir, "staged")
         ds = rd.read_parquet(src)
-        ds = ds.map_batches(
-            lambda t: t.append_column(
+        def derive(t: pa.Table) -> pa.Table:
+            t = t.append_column(
                 "nc_did",
                 pa.array(
                     t["n_chars"].to_numpy(zero_copy_only=False) * 100000
                     + t["doc_id"].to_numpy(zero_copy_only=False)
                 ),
-            ),
-            batch_format="pyarrow",
-        )
+            )
+            # hierarchical facet path source>lang (taxonomy-facet analog)
+            paths = [[s_, l_] for s_, l_ in zip(t["source"].to_pylist(), t["lang"].to_pylist())]
+            return t.append_column("src_lang", pa.array(paths, type=pa.list_(pa.string())))
+
+        ds = ds.map_batches(derive, batch_format="pyarrow")
         ds.write_parquet(staged)
         build_index(staged, idx_dir, cfg, target_docs_per_segment=1500)
     s = IndexSearcher(idx_dir, num_actors=4, score_f32=False, num_cpus=0.25)
@@ -742,6 +745,31 @@ def q_events_window(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["event_type", "window", "cnt", "val"]], preserve_index=False)
 
 
+def q_facet_hier(sf_dir: str) -> pa.Table:
+    """Q9 hierarchical facets: rollup counts over the source>lang taxonomy
+    for 'data' matches (top level + every 2-level path)."""
+    res = get_searcher(sf_dir).execute(
+        TermQ("data"), stop=0, facets=[("src_lang", "hier")]
+    )
+    items = res.drilldown_data["src_lang"]
+    return pa.table(
+        {
+            "path": pa.array(list(items.keys()), type=pa.string()),
+            "cnt": pa.array(list(items.values()), type=pa.int64()),
+        }
+    )
+
+
+def q_drilldown_path(sf_dir: str) -> pa.Table:
+    """Q10 drilldown: 'data' matches restricted to the src1 taxonomy branch."""
+    from ..query.ast import PathPrefixQ
+
+    q = BoolQ(must=(TermQ("data"),), filter=(PathPrefixQ("src_lang", ("src1",)),))
+    res = get_searcher(sf_dir).execute(q, stop=100000, stored_fields=("doc_id",))
+    ids = np.sort(res.hits["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    return pa.table({"doc_id": pa.array(ids)})
+
+
 def q_cluster_topdocs(sf_dir: str) -> pa.Table:
     """Q12: cluster the top 30 'data' hits (DBSCAN + PageRank ranking)."""
     import pyarrow.parquet as pq
@@ -934,6 +962,17 @@ SELECT event_type, (epoch_ms(ts) // 3600000)::BIGINT AS window,
        count(*)::BIGINT AS cnt, {_round2_sql("sum(value)")} AS val
 FROM events GROUP BY event_type, (epoch_ms(ts) // 3600000)
 """,
+    "facet_hier": f"""{SQL_PROLOGUE}
+SELECT source AS path, count(*)::BIGINT AS cnt FROM tok
+WHERE list_contains(toks, 'data') GROUP BY source
+UNION ALL
+SELECT source || '>' || lang, count(*)::BIGINT FROM tok
+WHERE list_contains(toks, 'data') GROUP BY source, lang
+""",
+    "drilldown_path": f"""{SQL_PROLOGUE}
+SELECT doc_id FROM tok WHERE list_contains(toks, 'data') AND source = 'src1'
+ORDER BY doc_id
+""",
     "join_semi": f"""
 SELECT o_orderpriority, count(*)::BIGINT AS cnt, {_round2_sql("sum(o_totalprice)")} AS total_price
 FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -1015,6 +1054,8 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "bm25_paging": q_bm25_paging,
     "phrase3": q_phrase3,
     "events_window": q_events_window,
+    "facet_hier": q_facet_hier,
+    "drilldown_path": q_drilldown_path,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_unite": q_join_unite,

@@ -82,6 +82,17 @@ class DocValEqQ:
 
 
 @dataclass(frozen=True)
+class PathPrefixQ:
+    """Drilldown on a hierarchical facet path prefix (DrillDownQuery.term
+    analog, Lucene.java:763-774): docs whose list<string> facet column
+    starts with ``path``; non-scoring constant boost."""
+
+    col: str
+    path: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class GeoDistanceQ:
     """Lat/lon radius filter (DistanceQuery analog,
     JsonQueryConverter.java:330-339): docs whose stored lat/lon columns fall

@@ -61,10 +61,10 @@ class _SegmentActorImpl:
     def count(self, q, sim, stats) -> int:
         return sum(s.count(q, sim, stats) for s in self.searchers)
 
-    def facet_counts(self, q, sim, stats, col):
+    def facet_counts(self, q, sim, stats, col, mode="auto"):
         out: dict[Any, int] = {}
         for s in self.searchers:
-            for v, c in s.facet_counts(q, sim, stats, col).items():
+            for v, c in s.facet_counts(q, sim, stats, col, mode).items():
                 out[v] = out.get(v, 0) + c
         return out
 
@@ -190,17 +190,25 @@ class IndexSearcher:
         import ray
 
         terms = sorted(query_terms(q))
+        cache_key = ("stats", tuple(terms), self.manifest.version)
+        hit = self._cache.get(cache_key)
+        if hit is not None:
+            return dict(hit)
         dfs: dict[str, int] = {}
         if terms:
             for part in ray.get([a.term_stats.remote(terms) for a in self.actors]):
                 for t, d in part.items():
                     dfs[t] = dfs.get(t, 0) + d
-        return {
+        out = {
             "N": self.manifest.num_docs,
             "avgdl": self.manifest.avgdl,
             "df": dfs,
             "f32": self.score_f32,
         }
+        if len(self._cache) >= 50:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[cache_key] = dict(out)
+        return out
 
     # ---- public API -----------------------------------------------------
     def execute(
@@ -253,17 +261,18 @@ class IndexSearcher:
             page = hits.slice(start, max(0, stop - start))
         drilldown: dict[str, dict[Any, int]] = {}
         if facets:
+            specs = [(f, "auto") if isinstance(f, str) else tuple(f) for f in facets]
             facet_parts = ray.get(
                 [
-                    a.facet_counts.remote(q, self.sim, stats, colname)
+                    a.facet_counts.remote(q, self.sim, stats, colname, mode)
                     for a in self.actors
-                    for colname in facets
+                    for colname, mode in specs
                 ]
             )
-            for i, colname in enumerate(facets):
+            for i, (colname, _mode) in enumerate(specs):
                 agg: dict[Any, int] = {}
                 for j in range(len(self.actors)):
-                    for v, c in facet_parts[j * len(facets) + i].items():
+                    for v, c in facet_parts[j * len(specs) + i].items():
                         agg[v] = agg.get(v, 0) + c
                 drilldown[colname] = dict(
                     sorted(agg.items(), key=lambda kv: (-kv[1], str(kv[0])))

@@ -35,6 +35,7 @@ from .ast import (
     GeoDistanceQ,
     KeyFilterQ,
     MatchAllQ,
+    PathPrefixQ,
     PhraseQ,
     PrefixQ,
     RangeQ,
@@ -215,6 +216,10 @@ class SegmentSearcher:
         if isinstance(q, DocValEqQ):
             vals = self.col(q.col)
             mask = vals == q.value
+            return mask, np.where(mask, q.boost, 0.0)
+        if isinstance(q, PathPrefixQ):
+            level = self._facet_level_col(q.col, len(q.path))
+            mask = level == ">".join(q.path)
             return mask, np.where(mask, q.boost, 0.0)
         if isinstance(q, GeoDistanceQ):
             lat = np.radians(self.col(q.lat_col).astype(np.float64))
@@ -485,13 +490,53 @@ class SegmentSearcher:
         mask, _ = self.eval(q, sim, stats)
         return int(self._apply_live(mask).sum())
 
-    def facet_counts(self, q, sim: BM25, stats: dict, col: str) -> dict[Any, int]:
+    def _facet_level_col(self, col: str, depth: int) -> np.ndarray:
+        """For a list<string> facet-path column: the '>'-joined prefix of
+        length ``depth`` per doc (None when the path is shorter) — cached,
+        the CachedOrdinalsReader analog (Lucene.java:586-595)."""
+        cache = self._col_cache.setdefault(f"__facet_{col}", {})
+        if depth not in cache:
+            vals = self.col(col)
+            cache[depth] = np.asarray(
+                [
+                    ">".join(v[:depth]) if isinstance(v, (list, np.ndarray)) and len(v) >= depth else None
+                    for v in vals
+                ],
+                dtype=object,
+            )
+        return cache[depth]
+
+    def facet_counts(self, q, sim: BM25, stats: dict, col: str, mode: str = "auto") -> dict[Any, int]:
         """Per-segment facet term counts (FacetSuperCollector analog:
-        per-slice count arrays merged by the engine)."""
+        per-slice count maps merged by the engine).
+
+        Scalar columns count values; list<string> columns count either each
+        element (mode='multi') or every hierarchical '>'-joined path prefix
+        with rollup (mode='hier' — MerescoTaxonomyFacetCounts.java:60-212).
+        mode='auto' treats lists as hierarchical paths."""
         mask, _ = self.eval(q, sim, stats)
         mask = self._apply_live(mask)
-        vals = self.col(col)[mask]
-        uniq, cnt = np.unique(vals, return_counts=True)
+        vals = self.col(col)
+        sample = next((v for v in vals if v is not None), None)
+        if isinstance(sample, (list, np.ndarray)):
+            out: dict[Any, int] = {}
+            if mode == "multi":
+                for v in vals[mask]:
+                    if v is None:
+                        continue
+                    for item in v:
+                        out[item] = out.get(item, 0) + 1
+                return out
+            max_depth = max((len(v) for v in vals[mask] if v is not None), default=0)
+            for depth in range(1, max_depth + 1):
+                level = self._facet_level_col(col, depth)[mask]
+                level = level[level != np.array(None)]
+                uniq, cnt = np.unique(level, return_counts=True)
+                for v, c in zip(uniq.tolist(), cnt.tolist()):
+                    out[v] = out.get(v, 0) + int(c)
+            return out
+        sel = vals[mask]
+        uniq, cnt = np.unique(sel, return_counts=True)
         return {v: int(c) for v, c in zip(uniq.tolist(), cnt.tolist())}
 
     def dedup_groups(
