@@ -6,6 +6,7 @@ from .bitsets import (
     broadcast_lookup_join,
 )
 from .composed import ComposedQuery, MultiSearcher
+from .relational import RelAnd, RelLeaf, RelNot, RelOr, RelationalRunner
 
 __all__ = [
     "KeyBits",
@@ -15,4 +16,9 @@ __all__ = [
     "broadcast_lookup_join",
     "ComposedQuery",
     "MultiSearcher",
+    "RelAnd",
+    "RelLeaf",
+    "RelNot",
+    "RelOr",
+    "RelationalRunner",
 ]

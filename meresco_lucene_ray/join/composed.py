@@ -47,6 +47,7 @@ class ComposedQuery:
     rank_ratio: float = 0.5
     facets: dict[str, list[str]] = field(default_factory=dict)
     sort_by_other: tuple[str, str, bool] | None = None  # (other_core, col, desc)
+    relational_filter: Any = None  # J7 expression; OVERRIDES filter_queries keys
     start: int = 0
     stop: int = 10
     export_keys: bool = False
@@ -78,7 +79,7 @@ class MultiSearcher:
             if c in cq.queries or cq.filter_queries.get(c) or c in cq.rank_queries
             or cq.exclude_filter_queries.get(c) or cq.facets.get(c)
         ]
-        if not active_others and not cq.unites:
+        if not active_others and not cq.unites and cq.relational_filter is None:
             # single-core shortcut (MultiLucene.java:68-73)
             return searcher.execute(
                 cq.queries.get(result_core, MatchAllQ()),
@@ -89,7 +90,14 @@ class MultiSearcher:
 
         # ---- stage 1: collect filter bitsets from other cores
         filter_bits: KeyBits | None = None
-        for core in others:
+        if cq.relational_filter is not None:
+            # relationalFilter override (MultiLucene.java:100-116)
+            from .relational import RelationalRunner
+
+            filter_bits = RelationalRunner(self.cores, self.key_space).execute(
+                cq.relational_filter
+            )
+        for core in (() if cq.relational_filter is not None else others):
             clauses = []
             if core in cq.queries:
                 clauses.append(cq.queries[core])
