@@ -132,9 +132,6 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
     import ray.data as rd
 
     src = _documents_path(sf_dir)
-    key = hashlib.sha256(f"{os.path.abspath(src)}:{os.path.getmtime(src)}:v3".encode()).hexdigest()[:16]
-    idx_dir = os.path.join("/tmp", "mlr_idx_cache", key)
-    os.makedirs(idx_dir, exist_ok=True)
     cfg = IndexConfig(
         text_col="text",
         id_col="doc_id",
@@ -145,6 +142,11 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
         k1=K1,
         b=B,
     )
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{cfg.fingerprint()}".encode()
+    ).hexdigest()[:16]
+    idx_dir = os.path.join("/tmp", "mlr_idx_cache", key)
+    os.makedirs(idx_dir, exist_ok=True)
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
         # derive the tie-free dedup-sort column, stage to parquet, then run
         # the zero-shuffle file-partitioned build
@@ -620,6 +622,31 @@ def q_minhash_buckets(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def q_neardup_verified(sf_dir: str) -> pa.Table:
+    """Near-dup pipeline end-to-end: MinHash-LSH candidate buckets → exact
+    n-gram Jaccard verification of each bucket's pairs (the candidate-then-
+    verify pattern)."""
+    import ray.data as rd
+
+    from ..functions.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    buckets = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32, bands=16, shingle_n=2)
+    groups = [
+        list(g)
+        for g in buckets.to_pandas()["ids"]
+        if isinstance(g, (list, np.ndarray)) and len(g) >= 2
+    ]
+    verified = jaccard_pairs(ds, groups, n=2, threshold=0.5)
+    return pa.table(
+        {
+            "id_a": pa.array([a for a, _, _ in verified], type=pa.int64()),
+            "id_b": pa.array([b for _, b, _ in verified], type=pa.int64()),
+            "jaccard": pa.array(_round4([j for _, _, j in verified])),
+        }
+    )
+
+
 def q_simhash(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
@@ -1068,6 +1095,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "embedding_neardup": q_embedding_neardup,
     # rows-only (non-SQL-expressible) entries:
     "minhash_lsh_buckets": q_minhash_buckets,
+    "neardup_verified": q_neardup_verified,
     "simhash": q_simhash,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
