@@ -167,3 +167,33 @@ def test_collector_cache(base_index):
     assert ("keys", repr(TermQ("beta")), "dl", 16, s.manifest.version) in s._cache
     bs2 = s.collect_keys(TermQ("beta"), "dl", size=16)
     assert (bs1 == bs2).all()
+
+
+def test_stemmed_index_build(ray_session, tmp_path):
+    """M2 through the FULL build: stemmed+original tokens both indexed."""
+    import ray.data as rd
+
+    t = pa.table({"__id__": ["d1", "d2"], "text": ["boeken lezen", "other words"]})
+    d = str(tmp_path / "stem")
+    cfg = IndexConfig(text_col="text", id_col="__id__", num_shards=1, stem="dutch")
+    build_index(rd.from_arrow(t), d, cfg)
+    s = IndexSearcher(d, num_actors=1)
+    assert s.count(TermQ("boeken")) == 1  # original kept
+    assert s.count(TermQ("boek")) == 1    # stemmed emitted
+    assert s.count(TermQ("lezen")) == 1
+
+
+def test_whitespace_analyzer_index_build(ray_session, tmp_path):
+    """M3 through the FULL build: whitespace analyzer keeps case/punctuation."""
+    import ray.data as rd
+
+    t = pa.table({"__id__": ["d1"], "text": ["Foo-Bar baz"]})
+    d = str(tmp_path / "ws")
+    build_index(
+        rd.from_arrow(t),
+        d,
+        IndexConfig(text_col="text", id_col="__id__", num_shards=1, analyzer="whitespace"),
+    )
+    s = IndexSearcher(d, num_actors=1)
+    assert s.count(TermQ("Foo-Bar")) == 1  # not lowercased, not split on '-'
+    assert s.count(TermQ("foo")) == 0
