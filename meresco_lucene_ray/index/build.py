@@ -113,23 +113,27 @@ class TokenizeStage:
         lower = pc.utf8_lower(col)
         lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
-        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # int32 throughout: token/doc counts per batch are far below 2^31 and
+        # halving the index-array width halves hot-loop memory traffic
+        offsets = lists.offsets.to_numpy(zero_copy_only=False)
         values = lists.values
         n_per_doc = np.diff(offsets)
-        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), n_per_doc)
+        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int32), n_per_doc)
         # drop empty tokens (split artifacts at separators/boundaries)
         nonempty = pc.not_equal(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
         keep = np.flatnonzero(nonempty)
         enc = pc.dictionary_encode(values.filter(pa.array(nonempty)))
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False)  # int32 from arrow
         doc_idx = doc_idx[keep]
         # kept tokens stay doc-contiguous and ordered → position within doc =
         # global rank − doc's first rank
         dl64 = np.bincount(doc_idx, minlength=len(lists))
-        doc_starts = np.concatenate(([0], np.cumsum(dl64)[:-1]))
-        pos_in_doc = np.arange(doc_idx.size, dtype=np.int64) - doc_starts[doc_idx]
+        doc_starts = np.concatenate(([0], np.cumsum(dl64)[:-1])).astype(np.int64)
+        pos_in_doc = (
+            np.arange(doc_idx.size, dtype=np.int64) - doc_starts[doc_idx]
+        ).astype(np.int32)
         return codes, doc_idx, pos_in_doc, enc.dictionary, dl64.astype(np.int32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -170,7 +174,9 @@ class TokenizeStage:
             # pos-ascending within each doc, and stable sort preserves it —
             # one argsort instead of lexsort's three passes (memory-bound)
             n_dict = int(inv.max()) + 1
-            order = np.argsort(doc_idx * n_dict + inv, kind="stable")
+            order = np.argsort(
+                doc_idx.astype(np.int64) * n_dict + inv, kind="stable"
+            )
             di, ti, pi = doc_idx[order], inv[order], pos_in_doc[order]
             run_start = np.ones(di.size, dtype=bool)
             run_start[1:] = (di[1:] != di[:-1]) | (ti[1:] != ti[:-1])
