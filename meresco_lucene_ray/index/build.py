@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import zlib
 from dataclasses import dataclass, field, asdict
@@ -448,7 +449,12 @@ def add_documents(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexMa
     # tombstone the new ids against all pre-existing shards
     new_ids: list[str] = []
     for name in sorted(os.listdir(os.path.join(index_dir, "segments"))):
-        shard = int(name.split("=")[1])
+        # skip leftover 'seg=NNNNN.tmp' dirs from interrupted builds (mirrors
+        # _publish_manifest's marker-based filtering)
+        m = re.fullmatch(r"seg=(\d+)", name)
+        if m is None:
+            continue
+        shard = int(m.group(1))
         if shard >= offset:
             t = pq.read_table(
                 os.path.join(index_dir, "segments", name, "docs.parquet"), columns=["__id__"]

@@ -85,6 +85,18 @@ def _decode_whole_segment(seg_dir: str):
     return out
 
 
+def _tombstone_digest(index_dir: str) -> str:
+    """sha256 of the tombstones file contents ('none' when absent) — part of
+    the merge resume fingerprint so stale pre-delete segments are rebuilt."""
+    import hashlib
+
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(path):
+        return "none"
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
 class SegmentMerger:
     """One actor merges one group of segments into one new segment."""
 
@@ -97,7 +109,10 @@ class SegmentMerger:
         cfg = self.cfg
         seg_rel = f"segments/seg={new_shard:05d}"
         seg_dir = os.path.join(self.out_dir, seg_rel)
-        fp = cfg.fingerprint() + ":" + ",".join(seg_paths)
+        # the fingerprint covers config + sources + CURRENT tombstone state:
+        # merging expunges tombstoned docs, so a segment merged before newer
+        # delete_documents calls must NOT be reused on resume
+        fp = cfg.fingerprint() + ":" + ",".join(seg_paths) + ":" + _tombstone_digest(self.index_dir)
         import hashlib
 
         fp = hashlib.sha256(fp.encode()).hexdigest()[:16]

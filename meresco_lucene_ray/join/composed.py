@@ -88,15 +88,41 @@ class MultiSearcher:
                 facets=cq.facets.get(result_core, ()),
             )
 
+        # Each other core's bitset is applied through the RESULT-side key
+        # column of ITS OWN match (cq.key_col(result_core, core)) — cores may
+        # use different result-side key columns, so bitsets are never
+        # pre-ANDed across cores.
+        def _rkey(core: str) -> str:
+            try:
+                return cq.key_col(result_core, core)
+            except KeyError:
+                raise KeyError(
+                    f"no match registered between result core {result_core!r} and "
+                    f"{core!r}; ComposedQuery.matches must cover every core that "
+                    "contributes filters/excludes/ranks/facets"
+                )
+
+        def _any_rkey() -> str:
+            for core in others:
+                try:
+                    return cq.key_col(result_core, core)
+                except KeyError:
+                    continue
+            raise ValueError(
+                f"cannot resolve a key column on result core {result_core!r}: "
+                "register a match involving the result core"
+            )
+
         # ---- stage 1: collect filter bitsets from other cores
-        filter_bits: KeyBits | None = None
+        filters: list[KeyFilterQ] = []
         if cq.relational_filter is not None:
             # relationalFilter override (MultiLucene.java:100-116)
             from .relational import RelationalRunner
 
-            filter_bits = RelationalRunner(self.cores, self.key_space).execute(
+            rel_bits = RelationalRunner(self.cores, self.key_space).execute(
                 cq.relational_filter
             )
+            filters.append(KeyFilterQ(_any_rkey(), rel_bits.materialize()))
         for core in (() if cq.relational_filter is not None else others):
             clauses = []
             if core in cq.queries:
@@ -108,7 +134,7 @@ class MultiSearcher:
             bits = KeyBits(
                 self.cores[core].collect_keys(q, cq.key_col(core, result_core), self.key_space)
             )
-            filter_bits = bits if filter_bits is None else (filter_bits & bits)
+            filters.append(KeyFilterQ(_rkey(core), bits.materialize()))
 
         for (core_u1, q1), (core_u2, q2) in cq.unites:
             def _unite_key_col(core: str, partner: str) -> str:
@@ -128,38 +154,29 @@ class MultiSearcher:
                 )
             )
             united = b1 | b2  # J4: max one unite, OR of the two (MultiLucene.java:207-217)
-            filter_bits = united if filter_bits is None else (filter_bits & united)
+            unite_other = core_u2 if core_u1 == result_core else core_u1
+            filters.append(KeyFilterQ(_rkey(unite_other), united.materialize()))
 
-        exclude_bits: KeyBits | None = None
+        must_not: list[KeyFilterQ] = []
         for core in others:
+            ex: KeyBits | None = None
             for q in cq.exclude_filter_queries.get(core, ()):
                 bits = KeyBits(
                     self.cores[core].collect_keys(q, cq.key_col(core, result_core), self.key_space)
                 )
-                exclude_bits = bits if exclude_bits is None else (exclude_bits | bits)
+                ex = bits if ex is None else (ex | bits)
+            if ex is not None:
+                must_not.append(KeyFilterQ(_rkey(core), ex.materialize()))
 
-        rank_arrays = []
+        rank_items = []
         for core, rq in cq.rank_queries.items():
             if core == result_core:
                 continue
             arr = self.cores[core].key_max_scores(rq, cq.key_col(core, result_core), self.key_space)
             # 16-bit score quantization (float1120 stand-in, Utils.java:138-159)
-            rank_arrays.append(arr.astype(np.float16).astype(np.float64))
+            rank_items.append((_rkey(core), arr.astype(np.float16).astype(np.float64)))
 
         # ---- stage 2: result-core query with broadcast masks
-        result_key_col = None
-        for core in others:
-            try:
-                result_key_col = cq.key_col(result_core, core)
-                break
-            except KeyError:
-                continue
-        filters = []
-        if filter_bits is not None:
-            filters.append(KeyFilterQ(result_key_col, filter_bits.materialize()))
-        must_not = []
-        if exclude_bits is not None:
-            must_not.append(KeyFilterQ(result_key_col, exclude_bits.materialize()))
         base_q = cq.queries.get(result_core, MatchAllQ())
         final_q = (
             base_q
@@ -167,11 +184,7 @@ class MultiSearcher:
             else BoolQ(must=(base_q,), filter=tuple(filters), must_not=tuple(must_not))
         )
 
-        rank_adjust = (
-            {"ratio": cq.rank_ratio, "key_col": result_key_col, "arrays": rank_arrays}
-            if rank_arrays
-            else None
-        )
+        rank_adjust = {"ratio": cq.rank_ratio, "items": rank_items} if rank_items else None
         join_cols = None
         sort = None
         if cq.sort_by_other:
@@ -179,7 +192,7 @@ class MultiSearcher:
             vals = self.cores[other_core].key_value_array(
                 cq.key_col(other_core, result_core), col, self.key_space
             )
-            join_cols = {f"join_{col}": (result_key_col, vals, _missing_of(vals))}
+            join_cols = {f"join_{col}": (_rkey(other_core), vals, _missing_of(vals))}
             sort = [(f"join_{col}", desc, None)]
 
         res = searcher.execute(
@@ -198,7 +211,7 @@ class MultiSearcher:
             if not cols:
                 continue
             result_keys = KeyBits(
-                searcher.collect_keys(final_q, result_key_col, self.key_space)
+                searcher.collect_keys(final_q, _rkey(core), self.key_space)
             )
             other_q = KeyFilterQ(cq.key_col(core, result_core), result_keys.materialize())
             other_res = self.cores[core].execute(other_q, stop=0, facets=cols)
@@ -208,7 +221,7 @@ class MultiSearcher:
 
         if cq.export_keys:
             res.drilldown_data["__exported_keys__"] = KeyBits(
-                searcher.collect_keys(final_q, result_key_col, self.key_space)
+                searcher.collect_keys(final_q, _any_rkey(), self.key_space)
             )
         return res
 

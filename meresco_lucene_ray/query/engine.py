@@ -87,12 +87,14 @@ class _SegmentActorImpl:
         return out
 
     def key_value_pairs(self, key_col, val_col):
-        ks, vs = [], []
+        # per-searcher parts tagged with the segment base so the driver can
+        # restore global docid order across actors (round-robin assignment
+        # would otherwise make "last write wins" depend on actor count)
+        out = []
         for s in self.searchers:
             k, v = s.key_value_pairs(key_col, val_col)
-            ks.append(k)
-            vs.append(v)
-        return np.concatenate(ks), np.concatenate(vs)
+            out.append((s.base, k, v))
+        return out
 
     def prefix_terms(self, prefix, limit):
         acc: dict[str, int] = {}
@@ -289,9 +291,34 @@ class IndexSearcher:
         global ordering (score desc / sort fields), docid-asc tiebreak."""
         df = merged.to_pandas()
         if sort:
-            by = [c for c, _, _ in sort] + ["docid"]
-            asc = [not d for _, d, _ in sort] + [True]
+            # sort by TEMP columns with the SAME missing-value fills as the
+            # per-segment cut (SegmentSearcher._sortable) so the global
+            # re-sort agrees with per-segment ordering on nullable columns —
+            # returned values keep their original nulls
+            from .segment import MISSING_LAST
+
+            by, asc, drop = [], [], []
+            for c, desc, missing in sort:
+                key = c
+                if c in df.columns and df[c].isna().any():
+                    key = f"__sortkey_{c}"
+                    if df[c].dtype == object:
+                        df[key] = df[c].fillna("" if missing is None else str(missing))
+                    else:
+                        fill = (
+                            np.inf
+                            if missing is None or missing is MISSING_LAST
+                            else float(missing)
+                        )
+                        df[key] = df[c].fillna(fill)
+                    drop.append(key)
+                by.append(key)
+                asc.append(not desc)
+            by.append("docid")
+            asc.append(True)
             df = df.sort_values(by=by, ascending=asc, kind="mergesort")
+            if drop:
+                df = df.drop(columns=drop)
         else:
             df = df.sort_values(by=["score", "docid"], ascending=[False, True], kind="mergesort")
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
@@ -396,9 +423,16 @@ class IndexSearcher:
         ascending docid order across segments) — the join-sort source map."""
         import ray
 
-        parts = ray.get([a.key_value_pairs.remote(key_col, val_col) for a in self.actors])
-        keys = np.concatenate([k for k, _ in parts])
-        vals = np.concatenate([v for _, v in parts])
+        flat = [
+            part
+            for actor_parts in ray.get(
+                [a.key_value_pairs.remote(key_col, val_col) for a in self.actors]
+            )
+            for part in actor_parts
+        ]
+        flat.sort(key=lambda p: p[0])  # global docid order = ascending segment base
+        keys = np.concatenate([k for _, k, _ in flat]) if flat else np.zeros(0, np.int64)
+        vals = np.concatenate([v for _, _, v in flat]) if flat else np.zeros(0)
         sample = vals[0] if vals.size else 0
         if isinstance(sample, str) or vals.dtype == object:
             out = np.full(size, "", dtype=object)
@@ -406,8 +440,13 @@ class IndexSearcher:
             out = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
         else:
             out = np.full(size, np.inf, dtype=np.float64)
-        ok = keys < size
-        out[keys[ok]] = vals[ok]
+        ok = (keys >= 0) & (keys < size)
+        keys, vals = keys[ok], vals[ok]
+        # deterministic "last write per key wins": take the LAST occurrence per
+        # key in global docid order (first occurrence in the reversed arrays)
+        if keys.size:
+            uniq, first_rev = np.unique(keys[::-1], return_index=True)
+            out[uniq] = vals[::-1][first_rev]
         return out
 
     def prefix_search(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:

@@ -417,9 +417,10 @@ class SegmentSearcher:
             # AggregateScoreSuperCollector blend (J5): newScore =
             # (1−r)·ownScore + r·∏(1+otherScore(key))
             # (/root/reference/src/org/meresco/lucene/search/AggregateScoreSuperCollector.java:39-165)
-            keys = self.col(adj["key_col"]).astype(np.int64)
+            # each rank array reads through ITS OWN result-side key column
             prod = np.ones(self.n)
-            for arr in adj["arrays"]:
+            for key_col, arr in adj["items"]:
+                keys = self.col(key_col).astype(np.int64)
                 ok = (keys >= 0) & (keys < arr.size)
                 factor = np.ones(self.n)
                 factor[ok] = 1.0 + arr[keys[ok]]
