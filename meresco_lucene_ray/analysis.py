@@ -53,6 +53,42 @@ def tokenize_batch(texts: Sequence[str | None]) -> list[list[str]]:
     return [findall(t.lower()) if t else [] for t in texts]
 
 
+def arrow_tokens(col):
+    """The frozen tokenizer spec evaluated entirely in Arrow C kernels —
+    equivalent to ``tokenize_batch`` but with zero Python string objects.
+
+    Returns ``(codes int32[], doc_idx int32[], dictionary StringArray,
+    dl int64[])`` where ``dictionary[codes[i]]`` is the i-th token of the
+    doc-contiguous token stream, ``doc_idx[i]`` its document, and ``dl`` the
+    per-doc token counts.  Used by the dedup/textstats hot paths (the index
+    build keeps its own fused copy in ``index/build.py``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+    lower = pc.utf8_lower(col)
+    lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    values = lists.values
+    n_per_doc = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(lists), dtype=np.int32), n_per_doc)
+    nonempty = pc.not_equal(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(values.filter(pa.array(nonempty)))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    doc_idx = doc_idx[nonempty]
+    dl = np.bincount(doc_idx, minlength=len(lists)).astype(np.int64)
+    return codes, doc_idx, enc.dictionary, dl
+
+
 def tokenize_whitespace(text: str | None) -> list[str]:
     """WhitespaceAnalyzer option (LuceneSettings.java:193-208): split on
     whitespace only, no lowercasing/folding."""

@@ -6,14 +6,19 @@ SimHash, n-gram Jaccard, embedding cosine) extends it the way a 100 TB
 training-data pipeline needs.
 
 Scale shapes:
-- exact: map_batches(add content hash) → groupby(hash) keep-first — one hash
-  shuffle whose groups are tiny (dup cardinality), never skewed by design.
+- exact: map_batches(add content hash) → groupby(hash).aggregate(Min, Count)
+  — one hash shuffle with Arrow-native combiners, zero per-group Python.
 - minhash-lsh: map_batches(shingle→minhash, vectorized) → explode to one row
-  per band → groupby(band_hash) emits candidate groups — the classic
-  shingle→minhash→band→bucket pipeline; no pairwise work outside buckets.
-- simhash: vectorized 64-bit simhash per doc; near-dups = equal values per
-  rotated band (hamming ≤ k via k+1 table splits).
+  per band → groupby(hash part) → vectorized run-detection per part — the
+  classic shingle→minhash→band→bucket pipeline; no pairwise work outside
+  buckets and no per-bucket Python either.
+- simhash: vectorized 64-bit simhash per doc (dictionary-hashed tokens,
+  per-doc bit counts via reduceat).
 - embedding cosine: per-batch normalized matmul against a broadcast matrix.
+
+Hash specs are FROZEN at the round-1 values (FNV-1a via hashing.fnv1a_arrow
+== textstats.hash_str): the vectorized paths emit bit-identical signatures
+and buckets.
 """
 
 from __future__ import annotations
@@ -22,9 +27,10 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..analysis import tokenize_batch
-from .textstats import hash_str
+from ..analysis import arrow_tokens, tokenize_batch
+from .hashing import cached_stage, fnv1a_arrow, ragged_arange
 
 
 # ---------- exact dedup ----------------------------------------------------
@@ -36,25 +42,17 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "conten
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """groupby(content hash) → keep the min-id row per group, count dups.
-
-    Returns a Dataset of (content_md5, keep_id, dup_count)."""
-    import pandas as pd
+    """groupby(content hash) → Min(id), Count() — Arrow-native aggregates
+    (partial combine inside map tasks, one small shuffle, no per-group
+    Python).  Returns a Dataset of (content_md5, keep_id, dup_count)."""
+    from ray.data.aggregate import Count, Min
 
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
     )
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_md5": [g["content_md5"].iloc[0]],
-                "keep_id": [int(g[id_col].min())],
-                "dup_count": [len(g)],
-            }
-        )
-
-    return hashed.groupby("content_md5").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("content_md5").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count")
+    )
 
 
 # ---------- MinHash + LSH ---------------------------------------------------
@@ -64,7 +62,12 @@ MERSENNE = (1 << 61) - 1
 
 class MinHasher:
     """Vectorized MinHash over word shingles (actor-pool stage: permutation
-    parameters generated once per actor from a fixed seed)."""
+    parameters generated once per actor from a fixed seed).
+
+    Shingle strings are built with Arrow take + binary_join, hashed with the
+    vectorized FNV kernel, and reduced per doc with minimum.reduceat — the
+    per-doc signature values are bit-identical to round 1's per-shingle
+    Python loop (same FNV-1a, same u64-wrapping (a*x+b) mod p arithmetic)."""
 
     def __init__(self, text_col: str = "text", num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -74,95 +77,218 @@ class MinHasher:
         self.num_perm = num_perm
         self.n = shingle_n
 
-    def signature(self, tokens: list[str]) -> np.ndarray:
-        if len(tokens) < self.n:
-            shingles = [" ".join(tokens)] if tokens else [""]
-        else:
-            shingles = [" ".join(tokens[i : i + self.n]) for i in range(len(tokens) - self.n + 1)]
-        hv = np.fromiter((hash_str(s) for s in set(shingles)), dtype=np.uint64)
-        # (a*x+b) mod p for all perms x all shingles, then min over shingles
-        prod = (self.a[:, None] * (hv[None, :] % MERSENNE)) % MERSENNE
-        return ((prod + self.b[:, None]) % MERSENNE).min(axis=1)
+    def _shingle_hashes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(fnv64 of every shingle, shingle count per doc) — doc-contiguous.
+
+        Per the frozen spec: docs with < n tokens contribute ONE shingle
+        joining all their tokens (the empty doc contributes '')."""
+        codes, _doc_idx, dic, dl = arrow_tokens(batch[self.text_col])
+        n = self.n
+        ndocs = len(batch)
+        doc_starts = np.concatenate(([0], np.cumsum(dl)[:-1]))
+        sc = np.where(dl >= n, dl - n + 1, 1).astype(np.int64)  # shingles per doc
+        tok_cnt = np.where(dl >= n, n, dl).astype(np.int64)  # tokens per shingle
+        tok_cnt_per_shingle = np.repeat(tok_cnt, sc)
+        within = ragged_arange(sc)  # shingle ordinal within doc
+        tok_start = np.repeat(doc_starts, sc) + within  # first token of shingle
+        flat_idx = np.repeat(tok_start, tok_cnt_per_shingle) + ragged_arange(
+            tok_cnt_per_shingle
+        )
+        token_arr = dic.take(pa.array(codes, type=pa.int32()))
+        shingle_tokens = token_arr.take(pa.array(flat_idx, type=pa.int64()))
+        offsets = np.concatenate(([0], np.cumsum(tok_cnt_per_shingle)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), shingle_tokens
+        )
+        joined = pc.binary_join(lists, " ")
+        return fnv1a_arrow(joined), sc
+
+    def signatures(self, batch: pa.Table) -> np.ndarray:
+        """(ndocs, num_perm) uint64 signature matrix."""
+        from .hashing import mersenne_reduce_inplace
+
+        hv, sc = self._shingle_hashes(batch)
+        hvm = mersenne_reduce_inplace(hv)  # == hv % p, shift/add only
+        ndocs = sc.size
+        sig = np.empty((ndocs, self.num_perm), dtype=np.uint64)
+        sh_starts = np.concatenate(([0], np.cumsum(sc)))
+        # chunk doc ranges so the (num_perm, shingles) work matrix stays small
+        target = 65536
+        lo = 0
+        while lo < ndocs:
+            # largest hi with ≤ target shingles (always ≥ 1 doc)
+            hi = int(np.searchsorted(sh_starts, sh_starts[lo] + target, side="left"))
+            hi = min(max(hi - 1, lo + 1), ndocs)
+            seg = hvm[sh_starts[lo] : sh_starts[hi]]
+            # same u64-wrapping arithmetic as round 1: (a*x) wraps mod 2^64,
+            # then % p, then +b, then % p — mods via in-place shift/add
+            mat = self.a[:, None] * seg[None, :]
+            mersenne_reduce_inplace(mat)
+            mat += self.b[:, None]  # both < p ⇒ sum < 2^62, no wrap
+            mersenne_reduce_inplace(mat)
+            rel_starts = (sh_starts[lo:hi] - sh_starts[lo]).astype(np.int64)
+            sig[lo:hi, :] = np.minimum.reduceat(mat, rel_starts, axis=1).T
+            lo = hi
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = tokenize_batch(batch[self.text_col].to_pylist())
-        sigs = np.stack([self.signature(t) for t in toks])
+        sig = self.signatures(batch)
+        values = pa.array(sig.reshape(-1).astype(np.int64))
+        offsets = pa.array(
+            np.arange(len(batch) + 1, dtype=np.int32) * np.int32(self.num_perm)
+        )
         return batch.append_column(
-            "minhash", pa.array(list(sigs.astype(np.int64)), type=pa.list_(pa.int64()))
+            "minhash", pa.ListArray.from_arrays(offsets, values)
         )
 
 
-def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, shingle_n=3):
+def minhash_stage(batch: pa.Table, text_col="text", num_perm=64, shingle_n=3) -> pa.Table:
+    """TASK-pool MinHash map fn (state cached per worker via cached_stage —
+    cheaper than an actor pool for this trivially-rebuildable state)."""
+    return cached_stage(MinHasher, text_col, num_perm, shingle_n)(batch)
+
+
+def _band_hash_rows(batch: pa.Table, id_col: str, bands: int) -> pa.Table:
+    """Explode signatures to (id, band, band_hash) rows — one row per band.
+
+    Frozen band-hash spec: FNV-1a of the '|'-joined decimal strings of the
+    band's signature values, masked to 63 bits."""
+    ids = batch[id_col]
+    mh = batch["minhash"]
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    ndocs = len(batch)
+    num_perm = len(mh[0]) if ndocs else 0
+    rows_per_band = num_perm // bands if bands else 0
+    flat = mh.flatten()  # int64, doc-major, perm order
+    dec = pc.cast(flat, pa.string())
+    n_groups = ndocs * bands
+    offsets = pa.array(
+        np.arange(n_groups + 1, dtype=np.int32) * np.int32(rows_per_band)
+    )
+    joined = pc.binary_join(pa.ListArray.from_arrays(offsets, dec), "|")
+    bh = (fnv1a_arrow(joined) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    rep_idx = pa.array(np.repeat(np.arange(ndocs, dtype=np.int64), bands))
+    return pa.table(
+        {
+            id_col: ids.take(rep_idx),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), ndocs)),
+            "band_hash": pa.array(bh),
+        }
+    )
+
+
+def minhash_lsh_candidates(
+    ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
+    num_parts: int = 64,
+):
     """shingle → minhash → band → bucket groupby → candidate duplicate groups.
 
-    Returns a Dataset of (band, band_hash, ids list) for buckets with ≥2 docs."""
-    import pandas as pd
+    Returns a Dataset of (band, band_hash, ids list) for buckets with ≥2 docs.
 
-    rows_per_band = num_perm // bands
+    The bucket stage groups by a PARTITION of the (band, band_hash) space
+    (``num_parts`` per band) and run-detects buckets vectorized inside each
+    part — Python cost is O(num_parts), not O(buckets).  Raise ``num_parts``
+    when a part (≈ total_band_rows / (bands × num_parts)) outgrows a task."""
     sigged = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, num_perm, shingle_n),
+        minhash_stage,
+        fn_kwargs=dict(text_col=text_col, num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        batch_size=1024,
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sigs = batch["minhash"].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, sig in zip(ids, sigs):
-            s = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hash_str("|".join(map(str, chunk.tolist())))
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(np.int64(h & 0x7FFFFFFFFFFFFFFF))
-        return pa.table(
-            {
-                id_col: pa.array(out_id),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-            }
+        t = _band_hash_rows(batch, id_col, bands)
+        part = (
+            t["band"].to_numpy().astype(np.int64) * num_parts
+            + t["band_hash"].to_numpy() % num_parts
         )
+        return t.append_column("part", pa.array(part))
 
     exploded = sigged.map_batches(explode, batch_format="pyarrow")
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"band": [], "band_hash": [], "ids": []})
-        return pd.DataFrame(
+    def bucket_part(t: pa.Table) -> pa.Table:
+        bd = t["band"].to_numpy()
+        bh = t["band_hash"].to_numpy()
+        ids = t[id_col].to_numpy()
+        order = np.lexsort((ids, bh, bd))
+        bd, bh, ids = bd[order], bh[order], ids[order]
+        new = np.ones(bd.size, dtype=bool)
+        new[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+        gstart = np.flatnonzero(new)
+        glen = np.diff(np.append(gstart, bd.size))
+        keep = glen >= 2
+        if not keep.any():
+            return pa.table(
+                {
+                    "band": pa.array([], type=pa.int64()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                    "ids": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        elem_keep = np.repeat(keep, glen)
+        kept_ids = ids[elem_keep]
+        offsets = np.concatenate(([0], np.cumsum(glen[keep])))
+        return pa.table(
             {
-                "band": [int(g["band"].iloc[0])],
-                "band_hash": [int(g["band_hash"].iloc[0])],
-                "ids": [sorted(int(x) for x in g[id_col])],
+                "band": pa.array(bd[gstart[keep]].astype(np.int64)),
+                "band_hash": pa.array(bh[gstart[keep]]),
+                "ids": pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(kept_ids.astype(np.int64)),
+                ),
             }
         )
 
-    return exploded.groupby(["band", "band_hash"]).map_groups(bucket, batch_format="pandas")
+    return (
+        exploded.groupby("part")
+        .map_groups(bucket_part, batch_format="pyarrow")
+        .select_columns(["band", "band_hash", "ids"])
+    )
 
 
 # ---------- SimHash ---------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over tokens (tf-weighted bit voting), vectorized."""
+    """64-bit SimHash over tokens (tf-weighted bit voting), fully vectorized:
+    the token dictionary is FNV-hashed once, per-doc bit counts come from one
+    reduceat over the occurrence stream.  Bit-identical to the round-1
+    per-doc loop (votes_j > 0 ⇔ 2·setcount_j > doc_len)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = tokenize_batch(batch[self.text_col].to_pylist())
-        out = np.empty(len(toks), dtype=np.uint64)
-        bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for i, t in enumerate(toks):
-            if not t:
-                out[i] = 0
-                continue
-            uniq, counts = np.unique(np.asarray(t, dtype=object), return_counts=True)
-            hv = np.fromiter((hash_str(w) for w in uniq), dtype=np.uint64)
-            bits = ((hv[:, None] & bit_cols[None, :]) != 0).astype(np.int64)
-            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            out[i] = np.uint64(np.packbits((votes > 0)[::-1]).view(">u8")[0])
+        codes, doc_idx, dic, dl = arrow_tokens(batch[self.text_col])
+        ndocs = len(batch)
+        hv = fnv1a_arrow(dic)
+        bits_dict = (
+            (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int32)
+        out = np.zeros(ndocs, dtype=np.uint64)
+        doc_starts = np.concatenate(([0], np.cumsum(dl)[:-1]))
+        nonempty = np.flatnonzero(dl > 0)
+        if nonempty.size:
+            # chunk the (tokens, 64) occurrence matrix to bound memory
+            CH = 1 << 17
+            bit_cols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            lo = 0
+            while lo < nonempty.size:
+                hi = lo
+                tok0 = doc_starts[nonempty[lo]]
+                while (
+                    hi < nonempty.size
+                    and doc_starts[nonempty[hi]] + dl[nonempty[hi]] - tok0 <= CH
+                ):
+                    hi += 1
+                hi = max(hi, lo + 1)
+                sel = nonempty[lo:hi]
+                tok_end = doc_starts[sel[-1]] + dl[sel[-1]]
+                rows = bits_dict[codes[tok0:tok_end]]
+                setcnt = np.add.reduceat(rows, (doc_starts[sel] - tok0).astype(np.int64), axis=0)
+                hit = (2 * setcnt) > dl[sel][:, None]
+                out[sel] = (hit.astype(np.uint64) * bit_cols[None, :]).sum(axis=1)
+                lo = hi
         return batch.append_column("simhash", pa.array(out.astype(np.int64)))
 
 
@@ -172,7 +298,9 @@ def jaccard_pairs(ds, candidate_groups, text_col="text", id_col="doc_id", n=3, t
     """Verify candidate groups by exact n-gram Jaccard similarity.
 
     ``candidate_groups``: list of id lists (e.g. from minhash_lsh_candidates).
-    Fetches candidate docs once, verifies pairwise inside each (small) group."""
+    Fetches candidate docs once, verifies pairwise inside each (small) group.
+    Driver-side convenience wrapper — use ``verify_neardup_pairs`` for the
+    distributed candidate-then-verify pipeline."""
     import itertools
 
     cand_ids = sorted({i for g in candidate_groups for i in g})
@@ -204,6 +332,160 @@ def jaccard_pairs(ds, candidate_groups, text_col="text", id_col="doc_id", n=3, t
     return sorted(out)
 
 
+class _ShingleSetStage:
+    """map_batches stage: per doc, the SORTED UNIQUE fnv64 hashes of its word
+    n-gram shingles (the Jaccard verification signature)."""
+
+    def __init__(self, id_col: str, text_col: str, n: int):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self._mh = MinHasher(text_col, num_perm=1, shingle_n=n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hv, sc = self._mh._shingle_hashes(batch)
+        # NOTE: round-1 spec built shingles as max(1, L-n+1) windows (an
+        # L<n doc yields ONE shingle of all its tokens) — _shingle_hashes
+        # reproduces exactly that.  Per-doc sorted-unique via ONE segmented
+        # sort: order by (doc, hash), then run-detect.
+        doc_of = np.repeat(np.arange(sc.size, dtype=np.int64), sc)
+        order = np.lexsort((hv, doc_of))
+        d_s, h_s = doc_of[order], hv[order]
+        first = np.ones(h_s.size, dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        flat = h_s[first]
+        per_doc = np.bincount(d_s[first], minlength=sc.size)
+        byte_offsets = np.concatenate(([0], np.cumsum(per_doc * 8))).astype(np.int64)
+        # encode each doc's sorted-unique hash set as a raw uint64 blob:
+        # Acero hash joins carry binary payloads but not list columns
+        blob = flat.astype("<u8").tobytes()
+        return pa.table(
+            {
+                "__sid__": batch[self.id_col],
+                "shingle_hashes": pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(),
+                    sc.size,
+                    [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(blob)],
+                ),
+            }
+        )
+
+
+def verify_neardup_pairs(
+    ds, buckets, text_col="text", id_col="doc_id", n=3, threshold=0.8
+):
+    """Distributed candidate-then-verify: explode LSH buckets to unique
+    (id_a, id_b) pairs, attach each side's shingle-hash set via hash joins,
+    and verify Jaccard inside map_batches — no document text and no pairwise
+    state ever touches the driver.
+
+    ``buckets``: Dataset of (band, band_hash, ids list) from
+    ``minhash_lsh_candidates``.  Jaccard is computed over 64-bit shingle
+    hashes (collision odds ≈ |set|²/2^64 — negligible); the driver-side
+    ``jaccard_pairs`` remains the exact-string variant."""
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        ids_col = t["ids"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        counts = np.asarray([len(x) for x in ids_col], dtype=np.int64)
+        flat = ids_col.flatten().to_numpy()
+        gstarts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # all (i<j) index pairs per group, vectorized per group size
+        a_parts, b_parts = [], []
+        for s, c in zip(gstarts.tolist(), counts.tolist()):
+            if c < 2:
+                continue
+            iu = np.triu_indices(c, k=1)
+            g = np.sort(flat[s : s + c])
+            a_parts.append(g[iu[0]])
+            b_parts.append(g[iu[1]])
+        if not a_parts:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        # batch-local dedup (a pair repeats across bands); the cheap global
+        # distinct happens AFTER verification on the small surviving set —
+        # a global pre-verify distinct would shuffle every candidate pair
+        # for <1% dup savings
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(a.size, dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"id_a": pa.array(a[first]), "id_b": pa.array(b[first])})
+
+    pair_ds = buckets.map_batches(explode_pairs, batch_format="pyarrow")
+    def shingle_set_stage(batch: pa.Table) -> pa.Table:
+        return cached_stage(_ShingleSetStage, id_col, text_col, n)(batch)
+
+    # materialize once — BOTH joins consume it (re-executing the tokenize +
+    # shingle stage twice is the recompute trap flagged in round 1)
+    sigs = ds.map_batches(
+        shingle_set_stage, batch_format="pyarrow", batch_size=1024
+    ).materialize()
+
+    joined = pair_ds.join(
+        sigs.rename_columns({"__sid__": "id_a", "shingle_hashes": "sh_a"}),
+        join_type="inner",
+        num_partitions=4,
+        on=("id_a",),
+    ).join(
+        sigs.rename_columns({"__sid__": "id_b", "shingle_hashes": "sh_b"}),
+        join_type="inner",
+        num_partitions=4,
+        on=("id_b",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        sa = t["sh_a"]
+        sb = t["sh_b"]
+        if isinstance(sa, pa.ChunkedArray):
+            sa = sa.combine_chunks()
+        if isinstance(sb, pa.ChunkedArray):
+            sb = sb.combine_chunks()
+        jac = np.empty(len(t), dtype=np.float64)
+        for i in range(len(t)):
+            A = np.frombuffer(sa[i].as_py(), dtype="<u8")
+            B = np.frombuffer(sb[i].as_py(), dtype="<u8")
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            jac[i] = inter / max(1, A.size + B.size - inter)
+        keep = jac >= threshold
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "id_a": t["id_a"].take(idx),
+                "id_b": t["id_b"].take(idx),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        order = np.lexsort((b, a))
+        first = np.ones(a.size, dtype=bool)
+        first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        return t.take(pa.array(order[first]))
+
+    # global distinct on the small VERIFIED set: coalesce to one block, drop
+    # cross-band duplicates (identical jaccard by construction)
+    return (
+        joined.map_batches(verify, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(distinct_pairs, batch_format="pyarrow", batch_size=None)
+    )
+
+
 # ---------- embedding cosine near-dup ---------------------------------------
 
 class CosineScorer:
@@ -229,10 +511,19 @@ class CosineScorer:
 
 
 def embedding_neardup_pairs(ds, vec_col="embedding", id_col="vec_id", group_col=None, threshold=0.95):
-    """All pairs with cosine ≥ threshold.  When ``group_col`` is given, only
-    pairs within the same group are compared (the scalable path: partition by
-    a cheap blocking key — label, LSH bucket — then pairwise inside groups)."""
+    """All pairs with cosine ≥ threshold within a blocking group.
+
+    ``group_col`` is REQUIRED (the scalable path: partition by a cheap
+    blocking key — label, LSH bucket — then pairwise inside groups); the
+    unblocked all-pairs variant was removed as a 100 TB foot-gun."""
     import pandas as pd
+
+    if group_col is None:
+        raise ValueError(
+            "embedding_neardup_pairs requires a blocking group_col; "
+            "derive one (e.g. an LSH bucket via functions.ann.lsh_bucket) "
+            "instead of all-pairs comparison"
+        )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
@@ -245,9 +536,4 @@ def embedding_neardup_pairs(ds, vec_col="embedding", id_col="vec_id", group_col=
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[iu][hit]})
 
-    if group_col is None:
-        import pandas as pd
-
-        df = ds.to_pandas()
-        return pairs(df)
     return ds.groupby(group_col).map_groups(pairs, batch_format="pandas")

@@ -1,15 +1,19 @@
 """Text analysis stages for large-scale training-data pipelines.
 
 All stages are vectorized ``map_batches`` transforms over the frozen tokenizer
-spec (analysis.SQL_TOKENIZE keeps the DuckDB oracle in lockstep).
+spec (analysis.SQL_TOKENIZE keeps the DuckDB oracle in lockstep).  Tokens are
+dictionary-encoded in Arrow once per batch; only the small unique-token
+dictionary is ever hashed or set-tested — zero Python per token.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..analysis import tokenize_batch
+from ..analysis import arrow_tokens
+from .hashing import fnv1a_arrow, mersenne_addmod, mersenne_mulmod
 
 # tiny multilingual stopword lists for the n-gram/stopword language heuristic
 STOPWORDS = {
@@ -21,15 +25,29 @@ STOPWORDS = {
 QUALITY_STOPWORDS = sorted(STOPWORDS["en"])  # frozen list shared with the SQL oracle
 
 
+def _unique_runs(codes: np.ndarray, doc_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(doc, code) of each distinct (doc, token) pair — one segmented sort."""
+    if codes.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    n_dict = int(codes.max()) + 1
+    key = doc_idx.astype(np.int64) * n_dict + codes.astype(np.int64)
+    key.sort(kind="stable")
+    first = np.ones(key.size, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    uk = key[first]
+    return uk // n_dict, uk % n_dict
+
+
 def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc token statistics: n_tokens, n_unique, avg token length."""
-    toks = tokenize_batch(batch[text_col].to_pylist())
-    n = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-    nu = np.fromiter((len(set(t)) for t in toks), dtype=np.int64, count=len(toks))
-    avg = np.asarray(
-        [float(np.mean([len(w) for w in t])) if t else 0.0 for t in toks], dtype=np.float64
-    )
-    return batch.append_column("n_tokens", pa.array(n)).append_column(
+    codes, doc_idx, dic, dl = arrow_tokens(batch[text_col])
+    ndocs = len(batch)
+    run_doc, _ = _unique_runs(codes, doc_idx)
+    nu = np.bincount(run_doc, minlength=ndocs).astype(np.int64)
+    dict_lens = pc.utf8_length(dic).to_numpy(zero_copy_only=False).astype(np.float64)
+    len_sum = np.bincount(doc_idx, weights=dict_lens[codes], minlength=ndocs)
+    avg = np.divide(len_sum, dl, out=np.zeros(ndocs), where=dl > 0)
+    return batch.append_column("n_tokens", pa.array(dl)).append_column(
         "n_unique", pa.array(nu)
     ).append_column("avg_token_len", pa.array(avg))
 
@@ -37,40 +55,45 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality signals: token count, stopword ratio (frozen English list),
     alpha ratio.  A training-data filter stage."""
-    texts = batch[text_col].to_pylist()
-    toks = tokenize_batch(texts)
-    sw = set(QUALITY_STOPWORDS)
-    n = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-    stop = np.fromiter(
-        (sum(1 for w in t if w in sw) for t in toks), dtype=np.int64, count=len(toks)
+    codes, doc_idx, dic, dl = arrow_tokens(batch[text_col])
+    ndocs = len(batch)
+    in_sw = pc.is_in(dic, value_set=pa.array(QUALITY_STOPWORDS)).to_numpy(
+        zero_copy_only=False
     )
-    ratio = np.divide(stop, np.maximum(n, 1), dtype=np.float64)
-    return batch.append_column("n_tokens", pa.array(n)).append_column(
+    stop = np.bincount(doc_idx, weights=in_sw[codes].astype(np.float64), minlength=ndocs)
+    ratio = stop / np.maximum(dl, 1)
+    return batch.append_column("n_tokens", pa.array(dl)).append_column(
         "stopword_ratio", pa.array(ratio)
     )
 
 
 class LangId:
     """Stopword-hit language heuristic (actor-pool stage: tables built once
-    per actor).  Returns the language whose stopword list hits most tokens;
-    'und' when nothing hits."""
+    per actor).  Returns the language whose stopword list hits the most
+    DISTINCT tokens; 'und' when nothing hits.  Ties go to the first language
+    in sorted order (the round-1 iteration order)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        self.langs = sorted(STOPWORDS)
+        self.tables = [pa.array(sorted(STOPWORDS[lang])) for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = tokenize_batch(batch[self.text_col].to_pylist())
-        langs = []
-        for t in toks:
-            s = set(t)
-            best, best_n = "und", 0
-            for lang in sorted(self.tables):
-                hits = len(s & self.tables[lang])
-                if hits > best_n:
-                    best, best_n = lang, hits
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        codes, doc_idx, dic, _dl = arrow_tokens(batch[self.text_col])
+        ndocs = len(batch)
+        run_doc, run_code = _unique_runs(codes, doc_idx)
+        hits = np.zeros((len(self.langs), ndocs), dtype=np.int64)
+        for li, vs in enumerate(self.tables):
+            in_lang = pc.is_in(dic, value_set=vs).to_numpy(zero_copy_only=False)
+            if run_code.size:
+                hits[li] = np.bincount(
+                    run_doc, weights=in_lang[run_code].astype(np.float64), minlength=ndocs
+                ).astype(np.int64)
+        best = hits.argmax(axis=0)  # first max on ties == sorted-lang order
+        best_n = hits.max(axis=0) if ndocs else np.zeros(0, dtype=np.int64)
+        lang_arr = np.asarray(self.langs, dtype=object)
+        preds = np.where(best_n > 0, lang_arr[best], "und")
+        return batch.append_column("lang_pred", pa.array(preds.tolist(), type=pa.string()))
 
 
 FINGERPRINT_MOD = (1 << 61) - 1
@@ -79,19 +102,38 @@ FINGERPRINT_BASE = 1_000_003
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic rolling polynomial hash over the token stream — a
-    document fingerprint robust to whitespace/punctuation differences."""
-    toks = tokenize_batch(batch[text_col].to_pylist())
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = 0
-        for w in t:
-            h = (h * FINGERPRINT_BASE + (hash_str(w) & 0xFFFFFFFF)) % FINGERPRINT_MOD
-        out[i] = h
+    document fingerprint robust to whitespace/punctuation differences.
+
+    Vectorized Horner evaluation: docs are length-sorted and the update
+    h = (h·BASE + fnv32(token)) mod (2^61−1) runs once per token POSITION
+    over the active-doc prefix — bit-identical to the round-1 per-token
+    Python loop."""
+    codes, _doc_idx, dic, dl = arrow_tokens(batch[text_col])
+    ndocs = len(batch)
+    out = np.zeros(ndocs, dtype=np.uint64)
+    if codes.size:
+        c_occ = (fnv1a_arrow(dic) & np.uint64(0xFFFFFFFF))[codes]
+        doc_starts = np.concatenate(([0], np.cumsum(dl)[:-1]))
+        order = np.argsort(-dl, kind="stable")
+        s_dl = dl[order]
+        s_start = doc_starts[order]
+        h = np.zeros(ndocs, dtype=np.uint64)
+        max_dl = int(s_dl[0])
+        active = np.searchsorted(-s_dl, -np.arange(max_dl, dtype=np.int64), side="left")
+        base = np.uint64(FINGERPRINT_BASE)
+        for pos in range(max_dl):
+            m = active[pos]
+            if m == 0:
+                break
+            c = c_occ[s_start[:m] + pos]
+            h[:m] = mersenne_addmod(mersenne_mulmod(h[:m], base), c)
+        out[order] = h
     return batch.append_column("fingerprint", pa.array(out.astype(np.int64)))
 
 
 def hash_str(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (PYTHONHASHSEED-independent)."""
+    """Deterministic 64-bit FNV-1a (PYTHONHASHSEED-independent) — the scalar
+    reference for hashing.fnv1a_arrow (kept for tests and small-input code)."""
     h = 0xCBF29CE484222325
     for ch in s.encode():
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF

@@ -628,21 +628,19 @@ def q_neardup_verified(sf_dir: str) -> pa.Table:
     verify pattern)."""
     import ray.data as rd
 
-    from ..functions.dedup import jaccard_pairs, minhash_lsh_candidates
+    from ..functions.dedup import minhash_lsh_candidates, verify_neardup_pairs
 
     ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
     buckets = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32, bands=16, shingle_n=2)
-    groups = [
-        list(g)
-        for g in buckets.to_pandas()["ids"]
-        if isinstance(g, (list, np.ndarray)) and len(g) >= 2
-    ]
-    verified = jaccard_pairs(ds, groups, n=2, threshold=0.5)
+    # fully distributed candidate-then-verify: pair explode → hash join of
+    # per-doc shingle-hash sets → Jaccard inside map_batches (no driver fetch)
+    out = verify_neardup_pairs(ds, buckets, "text", "doc_id", n=2, threshold=0.5).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.table(
         {
-            "id_a": pa.array([a for a, _, _ in verified], type=pa.int64()),
-            "id_b": pa.array([b for _, b, _ in verified], type=pa.int64()),
-            "jaccard": pa.array(_round4([j for _, _, j in verified])),
+            "id_a": pa.array(out["id_a"].astype(np.int64)),
+            "id_b": pa.array(out["id_b"].astype(np.int64)),
+            "jaccard": pa.array(_round4(out["jaccard"].to_numpy())),
         }
     )
 
@@ -653,9 +651,8 @@ def q_simhash(sf_dir: str) -> pa.Table:
     from ..functions.dedup import SimHasher
 
     ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
-    out = ds.map_batches(
-        SimHasher, fn_constructor_args=("text",), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    # task pool: SimHasher is stateless — no actor-pool spin-up cost
+    out = ds.map_batches(SimHasher("text"), batch_format="pyarrow", batch_size=1024)
     return out.select_columns(["doc_id", "simhash"]).to_pandas().pipe(
         pa.Table.from_pandas, preserve_index=False
     )
@@ -667,9 +664,8 @@ def q_langid(sf_dir: str) -> pa.Table:
     from ..functions.textstats import LangId
 
     ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
-    out = ds.map_batches(
-        LangId, fn_constructor_args=("text",), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    # task pool: the stopword tables are trivially rebuilt per worker
+    out = ds.map_batches(LangId("text"), batch_format="pyarrow", batch_size=1024)
     return out.select_columns(["doc_id", "lang_pred"]).to_pandas().pipe(
         pa.Table.from_pandas, preserve_index=False
     )

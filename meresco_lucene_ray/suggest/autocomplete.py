@@ -38,10 +38,17 @@ def build_suggestion_index(
     key_col: str | None = None,
     min_shingle: int = 1,
     max_shingle: int = 3,
+    num_parts: int = 64,
 ) -> str:
     """Shingle-explode the value column, aggregate counts (+ filter keys),
-    write the suggestion table atomically (temp file + rename)."""
-    import pandas as pd
+    write the suggestion table atomically (temp file + rename).
+
+    The aggregate groups by a HASH PARTITION of the shingle space and
+    dictionary-encodes/run-detects inside each part — Python cost is
+    O(num_parts), not O(distinct shingles)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a_arrow
 
     def explode(batch: pa.Table) -> pa.Table:
         values = batch[value_col].to_pylist()
@@ -53,28 +60,69 @@ def build_suggestion_index(
                 for i in range(len(toks) - n + 1):
                     out_sh.append(" ".join(toks[i : i + n]))
                     out_key.append(k if k is not None else -1)
+        sh = pa.array(out_sh, type=pa.string())
+        part = (fnv1a_arrow(sh) % np.uint64(num_parts)).astype(np.int64)
         return pa.table(
             {
-                "shingle": pa.array(out_sh, type=pa.string()),
+                "shingle": sh,
                 "key": pa.array(out_key, type=pa.int64()),
+                "part": pa.array(part),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def agg_part(t: pa.Table) -> pa.Table:
+        sh = t["shingle"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        keys = t["key"].to_numpy()
+        enc = pc.dictionary_encode(sh)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = enc.dictionary
+        g = len(dic)
+        counts = np.bincount(codes, minlength=g).astype(np.int64)
+        m = keys >= 0
+        ck, kk = codes[m], keys[m]
+        order = np.lexsort((kk, ck))
+        c_s, k_s = ck[order], kk[order]
+        first = np.ones(c_s.size, dtype=bool)
+        first[1:] = (c_s[1:] != c_s[:-1]) | (k_s[1:] != k_s[:-1])
+        per_code = np.bincount(c_s[first], minlength=g)
+        offsets = np.concatenate(([0], np.cumsum(per_code))).astype(np.int64)
+        return pa.table(
             {
-                "shingle": [g["shingle"].iloc[0]],
-                "count": [len(g)],
-                "keys": [sorted(set(int(k) for k in g["key"] if k >= 0))],
+                "shingle": dic,
+                "count": pa.array(counts),
+                "keys": pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), pa.array(k_s[first])
+                ),
             }
         )
 
-    table = exploded.groupby("shingle").map_groups(agg, batch_format="pandas").to_pandas()
-    arrow = pa.Table.from_pandas(table, preserve_index=False)
+    import ray
+
+    agg = (
+        exploded.groupby("part")
+        .map_groups(agg_part, batch_format="pyarrow")
+        .select_columns(["shingle", "count", "keys"])
+    )
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if len(t)]
+    table = (
+        pa.concat_tables(parts, promote_options="default")
+        if parts
+        else pa.table(
+            {
+                "shingle": pa.array([], type=pa.string()),
+                "count": pa.array([], type=pa.int64()),
+                "keys": pa.array([], type=pa.list_(pa.int64())),
+            }
+        )
+    )
     tmp = out_path + ".tmp"
-    pq.write_table(arrow, tmp)
+    pq.write_table(table, tmp)
     os.replace(tmp, out_path)  # atomic swap (SuggestionIndex.java:132-190)
     return out_path
 
