@@ -310,8 +310,11 @@ class SegmentBuilder:
         rows_cf = np.add.reduceat(tf_sorted, bounds[:-1]).astype(np.int64) if t_sorted.size else np.zeros(0, dtype=np.int64)
 
         # one vectorized encode pass for the whole segment's postings
-        docs_col, tfs_col_enc, blk_last, blk_maxtf, blk_doc_off, blk_tf_off = encode_segment_postings(
-            term_starts, docids_global[d_sorted], tf_sorted
+        # (dls feed the per-block max(tf/dl) bound for block-max pruning)
+        docs_col, tfs_col_enc, blk_last, blk_maxtf, blk_doc_off, blk_tf_off, blk_maxtfdl = (
+            encode_segment_postings(
+                term_starts, docids_global[d_sorted], tf_sorted, dls=dl[d_sorted]
+            )
         )
 
         pos_col, pos_offs = None, None
@@ -344,6 +347,8 @@ class SegmentBuilder:
             "blk_doc_off": blk_doc_off,
             "blk_tf_off": blk_tf_off,
         }
+        if blk_maxtfdl is not None:
+            post_cols["blk_maxtfdl"] = blk_maxtfdl
         if cfg.store_positions:
             post_cols["pos"] = pos_col
             post_cols["pos_offs"] = pos_offs

@@ -183,13 +183,18 @@ def _segments_arange(bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return run_of, within
 
 
-def encode_segment_postings(term_starts: np.ndarray, docids: np.ndarray, tfs: np.ndarray):
+def encode_segment_postings(
+    term_starts: np.ndarray, docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray | None = None
+):
     """Encode ALL of a segment's postings — zero per-term Python loops.
 
     ``term_starts``: start index of each term's run in the (term, docid)-
-    sorted ``docids``/``tfs`` arrays.
+    sorted ``docids``/``tfs`` arrays.  ``dls`` (optional): document length of
+    each posting's doc, same order — enables the per-block max(tf/dl) score
+    bound used by block-max pruned disjunctions.
     Returns arrow arrays: (docs large_binary, tfs large_binary,
-    blk_last list<int64>, blk_maxtf list<int32>) — one row per term.
+    blk_last list<int64>, blk_maxtf list<int32>, blk_doc_off, blk_tf_off,
+    blk_maxtfdl list<float64> | None) — one row per term.
     """
     import pyarrow as pa
 
@@ -222,6 +227,15 @@ def encode_segment_postings(term_starts: np.ndarray, docids: np.ndarray, tfs: np
     )
     blk_last = pa.ListArray.from_arrays(pa.array(blk_bounds.astype(np.int32)), pa.array(last_doc))
     blk_maxtf = pa.ListArray.from_arrays(pa.array(blk_bounds.astype(np.int32)), pa.array(maxtf))
+    blk_maxtfdl = None
+    if dls is not None:
+        ratio = tfs.astype(np.float64) / np.maximum(np.asarray(dls, dtype=np.float64), 1.0)
+        maxr = (
+            np.maximum.reduceat(ratio, starts_g) if starts_g.size else np.zeros(0, np.float64)
+        )
+        blk_maxtfdl = pa.ListArray.from_arrays(
+            pa.array(blk_bounds.astype(np.int32)), pa.array(maxr)
+        )
     # per-block byte offsets (term-relative) enabling partial block decode:
     # nblocks+1 entries per term (final = term buffer length)
     off_bounds = (blk_bounds + np.arange(blk_bounds.size)).astype(np.int64)
@@ -242,7 +256,7 @@ def encode_segment_postings(term_starts: np.ndarray, docids: np.ndarray, tfs: np
         pa.array(off_bounds.astype(np.int32)),
         pa.array((tfs_off[posting_ix] - term_byte_base_t).astype(np.int64)),
     )
-    return docs_col, tfs_col, blk_last, blk_maxtf, blk_doc_off, blk_tf_off
+    return docs_col, tfs_col, blk_last, blk_maxtf, blk_doc_off, blk_tf_off, blk_maxtfdl
 
 
 def encode_segment_positions(

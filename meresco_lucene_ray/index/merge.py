@@ -200,8 +200,13 @@ class SegmentMerger:
             else np.zeros(0, dtype=np.int64)
         )
         bounds = np.concatenate((term_starts, [g_sorted.size])).astype(np.int64)
-        docs_col, tfs_col, blk_last, blk_maxtf, blk_doc_off, blk_tf_off = encode_segment_postings(
-            term_starts, d_sorted, tf_sorted
+        dl_all = np.concatenate(
+            [d["docs_table"]["dl"].to_numpy(zero_copy_only=False) for d in decoded]
+        ).astype(np.float64) if decoded else np.zeros(0)
+        local_mask = np.uint64((1 << SHARD_BITS) - 1)
+        post_dls = dl_all[(d_sorted & local_mask).astype(np.int64)] if d_sorted.size else None
+        docs_col, tfs_col, blk_last, blk_maxtf, blk_doc_off, blk_tf_off, blk_maxtfdl = (
+            encode_segment_postings(term_starts, d_sorted, tf_sorted, dls=post_dls)
         )
         post_cols = {
             "term": pa.array(uniq_sorted[g_sorted[term_starts]].tolist() if term_starts.size else [], type=pa.string()),
@@ -218,6 +223,8 @@ class SegmentMerger:
             "blk_doc_off": blk_doc_off,
             "blk_tf_off": blk_tf_off,
         }
+        if blk_maxtfdl is not None:
+            post_cols["blk_maxtfdl"] = blk_maxtfdl
         if have_pos:
             # gather each posting's position span into merged (term, doc) order
             flat_parts = [d["positions_flat"] for d in decoded]

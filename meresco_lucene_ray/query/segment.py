@@ -42,10 +42,14 @@ from .ast import (
     TermQ,
     WildcardQ,
 )
-from .scorer import BM25
+from .scorer import BM25, bm25_tf_weight
 
 # string sort sentinels, mirroring fieldregistry.py:168-236 missing-value handling
 MISSING_LAST = object()
+
+# below this many matching docs, dense scoring beats the block-max bound
+# machinery — the pruned path falls through to exact scoring of the union
+BLOCK_MIN_PRUNE = 1024
 
 
 class SegmentSearcher:
@@ -66,6 +70,12 @@ class SegmentSearcher:
             self._blk_last = post["blk_last"].to_pylist()
             self._blk_doc_off = post["blk_doc_off"].to_pylist()
             self._blk_tf_off = post["blk_tf_off"].to_pylist()
+            self._blk_maxtf = (
+                post["blk_maxtf"].to_pylist() if "blk_maxtf" in post.column_names else None
+            )
+            self._blk_maxtfdl = (
+                post["blk_maxtfdl"].to_pylist() if "blk_maxtfdl" in post.column_names else None
+            )
         self.docs = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.n = len(self.docs)
         self.docid = self.docs["docid"].to_numpy()
@@ -398,6 +408,189 @@ class SegmentSearcher:
         scores = np.where(mask, scores * q.boost, 0.0)
         return mask, scores
 
+    # ---- block-max pruned disjunction -----------------------------------
+    def _wand_eligible(self, q, sim, stats, sort_spec) -> list | None:
+        """Return the TermQ clause list when the block-max pruned top-k path
+        applies (pure disjunction of positively-boosted terms, BM25, default
+        ordering, block metadata present), else None."""
+        if (
+            sort_spec is not None
+            or stats.get("rank_adjust") is not None
+            or stats.get("join_cols")
+            or not isinstance(sim, BM25)
+            or not self.has_blocks
+            or getattr(self, "_blk_maxtf", None) is None
+        ):
+            return None
+        if isinstance(q, TermQ) and q.boost > 0:
+            return [q]
+        if (
+            isinstance(q, BoolQ)
+            and q.should
+            and not q.must
+            and not q.filter
+            and not q.must_not
+            and q.boost == 1.0
+            and all(isinstance(c, TermQ) and c.boost > 0 for c in q.should)
+        ):
+            return list(q.should)
+        return None
+
+    def _top_k_or_pruned(self, term_qs, k, sim: BM25, stats: dict, cols) -> pa.Table:
+        """Block-max pruned disjunctive top-k (the MaxScore / block-max-WAND
+        family, vectorized at docid-range granularity) — the north-star's
+        'block-max WAND pruning' over the blk_last/blk_maxtf metadata
+        ``index/codec.py`` writes.
+
+        The docid axis is cut into CELLS at the union of all terms' block
+        boundaries; each cell's score upper bound is the sum of the covering
+        blocks' bounds (boost · idf · tf_weight(blk_maxtf, min dl)).  Cells
+        are scored exactly in descending-bound order until the next bound
+        cannot reach the current k-th score — every surviving doc is scored
+        with the SAME clause-order float accumulation as the dense path, so
+        results (scores, docid tiebreaks, totals) are bit-identical."""
+        N, avgdl, dfs = stats["N"], stats["avgdl"], stats["df"]
+        f32 = stats.get("f32", True)
+        posts = []  # (tq, local docids, tfs) in CLAUSE order
+        for tq in term_qs:
+            p = self.postings_local(tq.term)
+            if p is not None:
+                posts.append((tq, p[0], p[1]))
+        empty = self._hits_table(np.empty(0, dtype=np.int64), np.zeros(0), cols, 0)
+        if not posts:
+            return empty
+
+        def compute_union() -> np.ndarray:
+            u = np.unique(np.concatenate([pl for _, pl, _ in posts]))
+            if self.live is not None:
+                u = u[self.live[u]]
+            return u
+
+        def score_exact(cand: np.ndarray) -> np.ndarray:
+            acc = np.zeros(cand.size)
+            for tq, pl, tf in posts:  # clause order == dense accumulation order
+                pos = np.searchsorted(pl, cand)
+                ok = pos < pl.size
+                if ok.any():
+                    ok[ok] = pl[pos[ok]] == cand[ok]
+                if ok.any():
+                    acc[ok] += sim.score(
+                        tf[pos[ok]], self.dl[cand[ok]], N, dfs.get(tq.term, 0), avgdl, tq.boost
+                    )
+            return acc
+
+        def finalize(docs: np.ndarray, sc: np.ndarray, total: int) -> pa.Table:
+            order = np.lexsort((docs, -sc))[:k]
+            sel = docs[order]
+            return self._hits_table(sel, sc[order], cols, total)
+
+        est_total = sum(pl.size for _, pl, _ in posts)
+        if est_total <= max(4 * k, BLOCK_MIN_PRUNE):
+            # small result sets: score the union directly (postings already
+            # decoded), skipping the bound machinery
+            union = compute_union()
+            if union.size == 0:
+                return empty
+            sc = score_exact(union)
+            if f32:
+                sc = sc.astype(np.float32).astype(np.float64)
+            return finalize(union, sc, int(union.size))
+
+        # ---- per-cell upper bounds
+        dl_min = getattr(self, "_dl_min", None)
+        if dl_min is None:
+            dl_min = self._dl_min = float(self.dl.min()) if self.n else 1.0
+        c1 = sim.k1 * (1.0 - sim.b)
+        c2 = sim.k1 * sim.b / avgdl
+        blk_lasts, blk_ws = [], []
+        for tq, _, _ in posts:
+            ti = self.term_idx[tq.term]
+            bl = np.asarray(self._blk_last[ti], dtype=np.int64)
+            mt = np.asarray(self._blk_maxtf[ti], dtype=np.float64)
+            if self._blk_maxtfdl is not None:
+                # tight bound: tf_weight = 1/(1 + c1/tf + c2·dl/tf) maximized
+                # independently by the block's max tf and max tf/dl
+                mr = np.asarray(self._blk_maxtfdl[ti], dtype=np.float64)
+                ub_tfw = 1.0 / (1.0 + c1 / np.maximum(mt, 1e-30) + c2 / np.maximum(mr, 1e-30))
+            else:
+                ub_tfw = bm25_tf_weight(mt, dl_min, avgdl, sim.k1, sim.b)
+            w = tq.boost * sim.idf(N, dfs.get(tq.term, 0)) * ub_tfw
+            blk_lasts.append(bl)
+            blk_ws.append(np.asarray(w, dtype=np.float64))
+        cell_ends = np.unique(np.concatenate(blk_lasts))  # global docids
+        ncells = cell_ends.size
+        cell_ub = np.zeros(ncells)
+        for bl, w in zip(blk_lasts, blk_ws):
+            b = np.searchsorted(bl, cell_ends, side="left")
+            cov = b < bl.size
+            cell_ub[cov] += w[b[cov]]
+        # flatness gate (metadata only, nothing scored yet): pruning can only
+        # pay off when a sizable share of cells is bounded well below the top
+        # cells; a flat bound profile (every block holds a near-max-impact
+        # doc) means the dense scatter path wins — bail before any setup
+        hi = float(np.percentile(cell_ub, 99)) if ncells else 0.0
+        if ncells < 16 or (cell_ub < 0.5 * hi).mean() < 0.3:
+            return None
+        order = np.argsort(-cell_ub, kind="stable")
+        # cell id of each posting, per term (one searchsorted pass each)
+        cell_of = [
+            np.searchsorted(cell_ends, (pl + self.base).astype(np.int64), side="left")
+            for _, pl, _ in posts
+        ]
+
+        scored_docs: list[np.ndarray] = []
+        scored_sc: list[np.ndarray] = []
+        n_scored = 0
+        theta = -np.inf
+        i = 0
+        chunk = max(8, (2 * k) // 128 + 1)
+        sel_flag = np.zeros(ncells, dtype=bool)
+
+        def score_cells(take: np.ndarray):
+            nonlocal n_scored
+            sel_flag[:] = False
+            sel_flag[take] = True
+            parts = [pl[sel_flag[co]] for (_, pl, _), co in zip(posts, cell_of)]
+            cand = np.unique(np.concatenate(parts))
+            if self.live is not None:
+                cand = cand[self.live[cand]]
+            if cand.size == 0:
+                return
+            sc = score_exact(cand)
+            if f32:
+                sc = sc.astype(np.float32).astype(np.float64)
+            scored_docs.append(cand)
+            scored_sc.append(sc)
+            n_scored += cand.size
+
+        while i < order.size:
+            if n_scored >= k:
+                remaining = order[i:]
+                keep = cell_ub[remaining] >= theta * (1.0 - 1e-6)
+                if not keep.any():
+                    break  # no remaining cell can reach the k-th score
+                if keep.mean() > 0.5:
+                    # bounds are flat on this segment/query (uniform score
+                    # distribution) — hand back to the dense path, whose
+                    # scatter-accumulate beats per-candidate searchsorted
+                    # when most docs must be scored anyway
+                    return None
+                order = remaining[keep]
+                i = 0
+            take = order[i : i + chunk]
+            i += chunk
+            chunk *= 2
+            score_cells(take)
+            if n_scored >= k:
+                allsc = np.concatenate(scored_sc)
+                theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+        union = compute_union()
+        if not scored_docs:
+            return empty
+        return finalize(
+            np.concatenate(scored_docs), np.concatenate(scored_sc), int(union.size)
+        )
+
     # ---- collectors -----------------------------------------------------
     def top_k(
         self,
@@ -410,6 +603,12 @@ class SegmentSearcher:
     ) -> pa.Table:
         """Per-segment top-k (TopScoreDocSuperCollector / TopFieldSuperCollector
         analog). Ties broken by docid asc for determinism."""
+        wand_terms = self._wand_eligible(q, sim, stats, sort_spec)
+        if wand_terms is not None:
+            pruned = self._top_k_or_pruned(wand_terms, k, sim, stats, cols)
+            if pruned is not None:
+                return pruned
+            # bounds not discriminative on this segment/query → dense path
         mask, scores = self.eval(q, sim, stats)
         mask = self._apply_live(mask)
         adj = stats.get("rank_adjust")
