@@ -725,6 +725,8 @@ def _publish_manifest(
     sum_dl = 0
     seg_root = os.path.join(index_dir, "segments")
     for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []:
+        if re.fullmatch(r"seg=\d+", name) is None:
+            continue  # leftover seg=NNNNN.tmp from an interrupted build
         seg_dir = os.path.join(seg_root, name)
         m = _read_marker(seg_dir)
         if m is None or m.get("fingerprint") != cfg.fingerprint():

@@ -167,6 +167,7 @@ class IndexSearcher:
             k1=self.manifest.config.get("k1", 0.9), b=self.manifest.config.get("b", 0.4)
         )
         tombstones = load_tombstones(self.index_dir) or None
+        self._ts: tuple | None | bool = None  # lazy termstats (reset per version)
         segs = [s.path for s in self.manifest.segments]
         n_act = min(self._num_actors or max(1, len(segs)), max(1, len(segs)))
         assign: list[list[str]] = [[] for _ in range(n_act)]
@@ -188,6 +189,29 @@ class IndexSearcher:
         return True
 
     # ---- helpers --------------------------------------------------------
+    def _termstats_arrays(self):
+        """Sorted (terms, dfs) from the build-published global stats table —
+        written atomically with every manifest (build/add/delete/merge), so
+        a driver-side bisect replaces the per-query df fan-out round and
+        every query needs ONE actor round trip.
+
+        Scale note: at a 10^12-doc vocabulary, load per-row-group on demand
+        (the table is term-sorted; parquet row-group stats give the bisect)
+        instead of whole-file; at test scale a full load is 50k rows."""
+        if self._ts is None:
+            path = os.path.join(self.index_dir, "termstats.parquet")
+            if os.path.exists(path):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(path)
+                self._ts = (
+                    t["term"].to_numpy(zero_copy_only=False),
+                    t["df"].to_numpy(zero_copy_only=False),
+                )
+            else:
+                self._ts = False
+        return self._ts or None
+
     def _stats(self, q) -> dict:
         import ray
 
@@ -197,7 +221,14 @@ class IndexSearcher:
         if hit is not None:
             return dict(hit)
         dfs: dict[str, int] = {}
-        if terms:
+        ts = self._termstats_arrays() if terms else None
+        if ts is not None:
+            tarr, darr = ts
+            pos = np.searchsorted(tarr, np.asarray(terms, dtype=object))
+            for t, p in zip(terms, pos.tolist()):
+                if p < tarr.size and tarr[p] == t:
+                    dfs[t] = int(darr[p])
+        elif terms:
             for part in ray.get([a.term_stats.remote(terms) for a in self.actors]):
                 for t, d in part.items():
                     dfs[t] = dfs.get(t, 0) + d
@@ -464,6 +495,13 @@ class IndexSearcher:
         return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
 
     def all_term_stats(self) -> dict[str, int]:
+        """Full (term → df) map, preferring the build-published stats table —
+        a local file read instead of shipping every shard's vocabulary
+        through the object store (the round-1 scale trap)."""
+        ts = self._termstats_arrays()
+        if ts is not None:
+            tarr, darr = ts
+            return {t: int(d) for t, d in zip(tarr.tolist(), darr.tolist())}
         import ray
 
         acc: dict[str, int] = {}
