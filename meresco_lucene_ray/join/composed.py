@@ -27,7 +27,7 @@ from typing import Any
 
 import numpy as np
 
-from ..query.ast import BoolQ, KeyFilterQ, MatchAllQ
+from ..query.ast import BoolQ, KeyFilterQ, MatchAllQ, PathPrefixQ
 from ..query.engine import IndexSearcher, SearchResult
 from .bitsets import KeyBits
 
@@ -45,8 +45,17 @@ class ComposedQuery:
     unites: list[tuple[tuple[str, Any], tuple[str, Any]]] = field(default_factory=list)
     rank_queries: dict[str, Any] = field(default_factory=dict)
     rank_ratio: float = 0.5
-    facets: dict[str, list[str]] = field(default_factory=dict)
-    sort_by_other: tuple[str, str, bool] | None = None  # (other_core, col, desc)
+    # facet entries: str | (col, mode) | {"fieldname", "path", "max_terms"}
+    facets: dict[str, list] = field(default_factory=dict)
+    sort_by_other: tuple[str, str, bool] | None = None  # legacy single-key form
+    # (core, field, desc) — same-core fields sort directly, other-core fields
+    # sort through the broadcast key→value array (J6)
+    sort_keys: list[tuple[str, str, bool]] = field(default_factory=list)
+    # core -> [(facet field, path list)] ANDed as PathPrefixQ filters (Q10)
+    drilldown_queries: dict[str, list[tuple[str, list[str]]]] = field(default_factory=dict)
+    dedup_field: str | None = None
+    dedup_sort_field: str | None = None
+    clustering: bool = False
     relational_filter: Any = None  # J7 expression; OVERRIDES filter_queries keys
     start: int = 0
     stop: int = 10
@@ -73,20 +82,42 @@ class MultiSearcher:
         searcher = self.cores[result_core]
         others = [c for c in self.cores if c != result_core]
 
+        # front-door extras: sort keys (legacy sort_by_other folded in) and
+        # drilldown queries (PathPrefixQ filters per core — Q10)
+        sort_keys = list(cq.sort_keys)
+        if cq.sort_by_other:
+            sort_keys.append(tuple(cq.sort_by_other))
+        dd_filters: dict[str, list] = {
+            core: [PathPrefixQ(f, tuple(p)) for f, p in entries]
+            for core, entries in cq.drilldown_queries.items()
+        }
+
         active_others = [
             c
             for c in others
             if c in cq.queries or cq.filter_queries.get(c) or c in cq.rank_queries
-            or cq.exclude_filter_queries.get(c) or cq.facets.get(c)
+            or cq.exclude_filter_queries.get(c) or cq.facets.get(c) or dd_filters.get(c)
+            or any(sc == c for sc, _, _ in sort_keys)
         ]
         if not active_others and not cq.unites and cq.relational_filter is None:
             # single-core shortcut (MultiLucene.java:68-73)
-            return searcher.execute(
-                cq.queries.get(result_core, MatchAllQ()),
+            base_q = cq.queries.get(result_core, MatchAllQ())
+            own_filters = list(cq.filter_queries.get(result_core, ())) + dd_filters.get(
+                result_core, []
+            )
+            if own_filters:
+                base_q = BoolQ(must=(base_q,), filter=tuple(own_filters))
+            res = searcher.execute(
+                base_q,
                 start=cq.start,
                 stop=cq.stop,
-                facets=cq.facets.get(result_core, ()),
+                facets=_facet_specs(cq.facets.get(result_core, ())),
+                sort=[(f, d, None) for _, f, d in sort_keys] or None,
+                dedup_field=cq.dedup_field,
+                dedup_sort_field=cq.dedup_sort_field,
             )
+            _shape_facets(res, result_core, result_core, cq.facets.get(result_core, ()))
+            return res
 
         # Each other core's bitset is applied through the RESULT-side key
         # column of ITS OWN match (cq.key_col(result_core, core)) — cores may
@@ -128,6 +159,7 @@ class MultiSearcher:
             if core in cq.queries:
                 clauses.append(cq.queries[core])
             clauses.extend(cq.filter_queries.get(core, ()))
+            clauses.extend(dd_filters.get(core, ()))
             if not clauses:
                 continue
             q = clauses[0] if len(clauses) == 1 else BoolQ(must=tuple(clauses))
@@ -178,32 +210,43 @@ class MultiSearcher:
 
         # ---- stage 2: result-core query with broadcast masks
         base_q = cq.queries.get(result_core, MatchAllQ())
+        own_filters = list(cq.filter_queries.get(result_core, ())) + dd_filters.get(
+            result_core, []
+        )
+        all_filters = own_filters + filters
         final_q = (
             base_q
-            if not filters and not must_not
-            else BoolQ(must=(base_q,), filter=tuple(filters), must_not=tuple(must_not))
+            if not all_filters and not must_not
+            else BoolQ(must=(base_q,), filter=tuple(all_filters), must_not=tuple(must_not))
         )
 
         rank_adjust = {"ratio": cq.rank_ratio, "items": rank_items} if rank_items else None
-        join_cols = None
-        sort = None
-        if cq.sort_by_other:
-            other_core, col, desc = cq.sort_by_other
-            vals = self.cores[other_core].key_value_array(
-                cq.key_col(other_core, result_core), col, self.key_space
-            )
-            join_cols = {f"join_{col}": (_rkey(other_core), vals, _missing_of(vals))}
-            sort = [(f"join_{col}", desc, None)]
+        join_cols = {}
+        sort = []
+        for s_core, col, desc in sort_keys:
+            if s_core == result_core or col == "score":
+                sort.append((col, desc, None))
+            else:
+                # other-core sort field: broadcast its key→value array (J6)
+                vals = self.cores[s_core].key_value_array(
+                    cq.key_col(s_core, result_core), col, self.key_space
+                )
+                name = f"join_{col}"
+                join_cols[name] = (_rkey(s_core), vals, _missing_of(vals))
+                sort.append((name, desc, None))
 
         res = searcher.execute(
             final_q,
             start=cq.start,
             stop=cq.stop,
-            facets=cq.facets.get(result_core, ()),
+            facets=_facet_specs(cq.facets.get(result_core, ())),
             rank_adjust=rank_adjust,
-            join_cols=join_cols,
-            sort=sort,
+            join_cols=join_cols or None,
+            sort=sort or None,
+            dedup_field=cq.dedup_field,
+            dedup_sort_field=cq.dedup_sort_field,
         )
+        _shape_facets(res, result_core, result_core, cq.facets.get(result_core, ()))
 
         # ---- stage 3: other-core facets filtered by result keys
         for core in others:
@@ -214,7 +257,8 @@ class MultiSearcher:
                 searcher.collect_keys(final_q, _rkey(core), self.key_space)
             )
             other_q = KeyFilterQ(cq.key_col(core, result_core), result_keys.materialize())
-            other_res = self.cores[core].execute(other_q, stop=0, facets=cols)
+            other_res = self.cores[core].execute(other_q, stop=0, facets=_facet_specs(cols))
+            _shape_facets(other_res, core, core, cols)
             res.drilldown_data.update(
                 {f"{core}.{k}": v for k, v in other_res.drilldown_data.items()}
             )
@@ -230,3 +274,38 @@ def _missing_of(vals: np.ndarray):
     if np.issubdtype(np.asarray(vals).dtype, np.number):
         return np.iinfo(np.int64).max if np.issubdtype(vals.dtype, np.integer) else np.inf
     return ""
+
+
+def _facet_specs(entries) -> list:
+    """Normalize facet entries (str | (col, mode) | front-door dict) to the
+    engine's (col, mode) form."""
+    out = []
+    for e in entries or ():
+        out.append((e["fieldname"], "auto") if isinstance(e, dict) else e)
+    return out
+
+
+def _shape_facets(res, core: str, _res_core: str, entries) -> None:
+    """Apply front-door facet dicts' path restriction (children of the given
+    taxonomy path) and maxTerms trim to the raw hierarchical count maps."""
+    for e in entries or ():
+        if not isinstance(e, dict):
+            continue
+        col = e["fieldname"]
+        data = res.drilldown_data.get(col)
+        if data is None:
+            continue
+        path = e.get("path") or []
+        if path:
+            prefix = ">".join(path) + ">"
+            data = {
+                k[len(prefix):]: v
+                for k, v in data.items()
+                if isinstance(k, str)
+                and k.startswith(prefix)
+                and ">" not in k[len(prefix):]
+            }
+        mt = e.get("max_terms")
+        if mt:
+            data = dict(list(data.items())[:mt])
+        res.drilldown_data[col] = data

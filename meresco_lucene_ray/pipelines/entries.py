@@ -210,6 +210,44 @@ def q_bm25_filter_lang(sf_dir: str) -> pa.Table:
     return _topk_scores(get_searcher(sf_dir), q, 10)
 
 
+def q_composed_cql(sf_dir: str) -> pa.Table:
+    """M9+M10 front door end-to-end: the CQL string 'merge AND meta.lang=en'
+    goes through ExtractFilterQueries (the meta-core operand becomes a filter)
+    and ConvertToComposedQuery, then MultiSearcher runs the key-bitset
+    semi-join back into the documents core.  The 'meta' core shares the
+    physical documents index (self-join on doc_id) so the oracle is plain
+    SQL: BM25 top-10 of 'merge' over lang='en' docs — identical semantics to
+    bm25_filter_lang but exercised through the composed-query pathway."""
+    import pyarrow.parquet as pq
+
+    from ..cql import CqlConfig
+    from ..frontdoor import ConvertToComposedQuery
+    from ..join import MultiSearcher
+
+    s = get_searcher(sf_dir)
+    t = pq.read_table(_documents_path(sf_dir), columns=["doc_id"])
+    key_space = int(pa.compute.max(t["doc_id"]).as_py()) + 1
+    ms = MultiSearcher({"docs": s, "meta": s}, key_space)
+    cfg = CqlConfig(text_col="text", keyword_cols=frozenset({"lang"}))
+    conv = ConvertToComposedQuery(
+        results_from="docs",
+        matches=[(("docs", "doc_id"), ("meta", "doc_id"))],
+        cql_configs={"docs": cfg, "meta": cfg},
+        dedup_by_default=False,
+    )
+    cq = conv.convert(query="merge AND meta.lang=en", stop=60)
+    res = ms.execute(cq)
+    doc_id = np.asarray([int(i) for i in res.hits["__id__"].to_pylist()], dtype=np.int64)
+    score = res.hits["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_id, -score))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[order]),
+            "score": pa.array(_round4(score[order])),
+        }
+    )
+
+
 def q_phrase(sf_dir: str) -> pa.Table:
     return _topk_scores(get_searcher(sf_dir), PhraseQ(("batch", "stream")), 10)
 
@@ -861,6 +899,7 @@ ORACLES: dict[str, str] = {
     "bm25_or": _bm25_sql(["merge", "hash", "spark"], "or"),
     "bm25_and": _bm25_sql(["window", "vector"], "and"),
     "bm25_filter_lang": _bm25_sql(["merge"], "or", extra_where="t.lang = 'en'"),
+    "composed_cql": _bm25_sql(["merge"], "or", extra_where="t.lang = 'en'"),
     "phrase": f"""{SQL_PROLOGUE},
 pos AS (
   SELECT doc_id, toks, unnest(toks) AS w, generate_subscripts(toks, 1) AS o FROM tok
@@ -1061,6 +1100,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "bm25_or": q_bm25_or,
     "bm25_and": q_bm25_and,
     "bm25_filter_lang": q_bm25_filter_lang,
+    "composed_cql": q_composed_cql,
     "phrase": q_phrase,
     "count_term": q_count_term,
     "bool_not_count": q_bool_not_count,
