@@ -63,19 +63,49 @@ class LshBucketer:
         return batch.append_column("lsh_bucket", pa.array(self.signature(mat)))
 
 
-def lsh_topk(ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", n_planes=8, seed=11):
-    """LSH-pruned cosine top-k: score only vectors in the query's bucket
-    (falls back to brute force if the bucket is smaller than k)."""
+def lsh_topk(
+    ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", n_planes=8, seed=11,
+    min_candidates: int | None = None,
+):
+    """Multiprobe LSH-pruned cosine top-k.
+
+    The bucketed dataset is MATERIALIZED once (the round-1 version re-ran the
+    whole bucketing pipeline for its size check); bucket sizes come from one
+    small aggregate, and probes expand outward by Hamming distance from the
+    query signature until ≥ max(k, min_candidates) vectors are covered —
+    graceful recall growth instead of the all-or-nothing brute-force
+    fallback.  Only the probed buckets are ever scored."""
+    from ray.data.aggregate import Count
+
     q = np.asarray(query_vec, dtype=np.float64)
+    min_cand = min_candidates if min_candidates is not None else 4 * k
     bucketer = LshBucketer(q.size, n_planes, seed, vec_col)
     qsig = int(bucketer.signature(q[None, :])[0])
     bucketed = ds.map_batches(
         LshBucketer,
         fn_constructor_args=(q.size, n_planes, seed, vec_col),
         batch_format="pyarrow",
+        batch_size=1024,
         concurrency=(1, 4),
-    )
-    candidates = bucketed.filter(expr=f"lsh_bucket == {qsig}")
-    if candidates.count() < k:
-        candidates = bucketed
+    ).materialize()
+    sizes = bucketed.groupby("lsh_bucket").aggregate(Count(alias_name="n")).to_pandas()
+    buckets = sizes["lsh_bucket"].to_numpy().astype(np.int64)
+    counts = sizes["n"].to_numpy().astype(np.int64)
+    # multiprobe order: Hamming distance to the query signature, bucket asc
+    ham = np.bitwise_count(np.bitwise_xor(buckets, np.int64(qsig))) if hasattr(
+        np, "bitwise_count"
+    ) else np.array([bin(int(b) ^ qsig).count("1") for b in buckets])
+    order = np.lexsort((buckets, ham))
+    csum = np.cumsum(counts[order])
+    need = int(np.searchsorted(csum, max(k, min_cand))) + 1
+    probe = set(buckets[order[:need]].tolist())
+
+    def in_probe(batch: pa.Table) -> pa.Table:
+        mask = np.isin(
+            batch["lsh_bucket"].to_numpy(zero_copy_only=False),
+            np.fromiter(probe, dtype=np.int64),
+        )
+        return batch.filter(pa.array(mask))
+
+    candidates = bucketed.map_batches(in_probe, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k, vec_col, id_col)

@@ -68,17 +68,39 @@ def bitset_from_keys(keys: np.ndarray, size: int) -> np.ndarray:
 
 
 def keys_of_dataset(ds, key_col: str, size: int) -> KeyBits:
-    """KeyCollector over a Dataset: one streaming pass, per-batch partial
-    bitsets, OR-merged on the driver (bitsets are tiny vs the data)."""
+    """KeyCollector over a Dataset: one streaming pass, per-batch partials
+    OR-merged on the driver.
+
+    Each partial is ADAPTIVE: the batch's unique keys as a sparse int64
+    array when that is smaller than the packed bitset, else the packed
+    bitset — so a 10^9-bit key space never ships 125 MB per batch of a few
+    thousand distinct keys (the round-1 scale trap)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        bs = bitset_from_keys(batch[key_col].to_numpy(zero_copy_only=False), size)
-        return pa.table({"packed": pa.array([np.packbits(bs).tobytes()], type=pa.large_binary())})
+        keys = np.unique(batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        keys = keys[(keys >= 0) & (keys < size)]
+        if keys.size * 64 < size:
+            payload = keys.astype("<i8").tobytes()
+            kind = "sparse"
+        else:
+            payload = np.packbits(bitset_from_keys(keys, size)).tobytes()
+            kind = "dense"
+        return pa.table(
+            {
+                "kind": pa.array([kind], type=pa.string()),
+                "payload": pa.array([payload], type=pa.large_binary()),
+            }
+        )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     bs = np.zeros(size, dtype=bool)
     for row in parts:
-        bs |= np.unpackbits(np.frombuffer(row["packed"], dtype=np.uint8), count=size).astype(bool)
+        if row["kind"] == "sparse":
+            bs[np.frombuffer(row["payload"], dtype="<i8")] = True
+        else:
+            bs |= np.unpackbits(
+                np.frombuffer(row["payload"], dtype=np.uint8), count=size
+            ).astype(bool)
     return KeyBits(bs)
 
 
@@ -112,18 +134,25 @@ def broadcast_lookup_join(ds, key_col: str, mapping: dict, out_col: str, default
     attach the mapped column per batch (JoinSortCollector analog,
     /root/reference/src/org/meresco/lucene/search/JoinSortCollector.java:53-252 —
     there: resultDoc→key→otherDoc→sortValue chase; here: one vectorized
-    lookup against a broadcast Arrow-backed dict)."""
+    searchsorted against broadcast key-sorted arrays — no per-row Python)."""
     import ray
 
-    ref = ray.put(mapping)
+    sorted_keys = np.array(sorted(mapping), dtype=np.int64)
+    sorted_vals = np.array([mapping[k] for k in sorted_keys.tolist()])
+    ref = ray.put((sorted_keys, sorted_vals))
 
     class Attach:
         def __init__(self):
-            self.map = ray.get(ref)
+            self.keys, self.vals = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[key_col].to_pylist()
-            vals = [self.map.get(k, default) for k in keys]
-            return batch.append_column(out_col, pa.array(vals))
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.keys, keys)
+            ok = pos < self.keys.size
+            if ok.any():
+                ok[ok] = self.keys[pos[ok]] == keys[ok]
+            out = np.full(len(batch), default, dtype=object)
+            out[ok] = self.vals[pos[ok]]
+            return batch.append_column(out_col, pa.array(out.tolist()))
 
     return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 8))
