@@ -95,16 +95,163 @@ def tokenize_whitespace(text: str | None) -> list[str]:
     return text.split() if text else []
 
 
+_DUTCH_V = frozenset("aeiouyè")
+_DUTCH_ACCENTS = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _dutch_undouble(word: str) -> str:
+    return word[:-1] if word.endswith(("kk", "dd", "tt")) else word
+
+
+def _dutch_regions(word: str) -> tuple[int, int]:
+    def after_vc(begin: int) -> int:
+        for i in range(begin, len(word) - 1):
+            if word[i] in _DUTCH_V and word[i + 1] not in _DUTCH_V:
+                return i + 2
+        return len(word)
+
+    r1 = max(after_vc(0), 3)  # ≥3 letters before R1, per the algorithm
+    return r1, after_vc(r1)
+
+
 def dutch_stem(word: str) -> str:
-    """Simplified Dutch suffix stripper.  The reference uses the Snowball
-    Dutch stemmer (MerescoDutchStemmingAnalyzer.java:49-66); this is a
-    deliberately small approximation of its most common reductions — the
-    MECHANISM (emit stemmed + original, dedup) is the parity target, not
-    bug-for-bug snowball output."""
-    for suf in ("heden", "eren", "tje", "en", "s"):
-        if word.endswith(suf) and len(word) - len(suf) >= 3:
-            return word[: -len(suf)]
-    return word
+    """Snowball Dutch stemmer (the published algorithm the reference applies
+    via Lucene's SnowballFilter — MerescoDutchStemmingAnalyzer.java:49-66):
+    accent fold, y/i marking, R1/R2 suffix steps with undoubling."""
+    word = word.translate(_DUTCH_ACCENTS)
+    if len(word) < 3:
+        return word
+    # mark initial y, y after vowel, i between vowels as consonants (Y/I)
+    chars = list(word)
+    for i, c in enumerate(word):
+        if c == "y" and (i == 0 or word[i - 1] in _DUTCH_V):
+            chars[i] = "Y"
+        elif (
+            c == "i"
+            and 0 < i < len(word) - 1
+            and word[i - 1] in _DUTCH_V
+            and word[i + 1] in _DUTCH_V
+        ):
+            chars[i] = "I"
+    word = "".join(chars)
+    r1, r2 = _dutch_regions(word)
+
+    def in_r1(stem_len: int) -> bool:
+        return stem_len >= r1
+
+    def in_r2(stem_len: int) -> bool:
+        return stem_len >= r2
+
+    # ---- step 1: heden / en,ene / s,se (longest match)
+    if word.endswith("heden"):
+        if in_r1(len(word) - 5):
+            word = word[:-5] + "heid"
+    else:
+        for suf in ("ene", "en"):
+            if word.endswith(suf):
+                stem = word[: -len(suf)]
+                if (
+                    in_r1(len(stem))
+                    and stem
+                    and stem[-1] not in _DUTCH_V
+                    and not stem.endswith("gem")
+                ):
+                    word = _dutch_undouble(stem)
+                break
+        else:
+            for suf in ("se", "s"):
+                if word.endswith(suf):
+                    stem = word[: -len(suf)]
+                    if in_r1(len(stem)) and stem and stem[-1] not in _DUTCH_V and stem[-1] != "j":
+                        word = stem
+                    break
+    # ---- step 2: -e
+    e_removed = False
+    if word.endswith("e"):
+        stem = word[:-1]
+        if in_r1(len(stem)) and stem and stem[-1] not in _DUTCH_V:
+            word = _dutch_undouble(stem)
+            e_removed = True
+    # ---- step 3a: -heid (then a preceding -en as in step 1)
+    if word.endswith("heid") and in_r2(len(word) - 4) and (len(word) < 5 or word[-5] != "c"):
+        word = word[:-4]
+        if word.endswith("en"):
+            stem = word[:-2]
+            if (
+                in_r1(len(stem))
+                and stem
+                and stem[-1] not in _DUTCH_V
+                and not stem.endswith("gem")
+            ):
+                word = _dutch_undouble(stem)
+    # ---- step 3b: d-suffixes (longest match)
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not word.endswith(suf):
+            continue
+        stem = word[: -len(suf)]
+        if suf == "lijk":
+            if in_r2(len(stem)):
+                word = stem
+                if word.endswith("e"):  # repeat step 2
+                    s2 = word[:-1]
+                    if in_r1(len(s2)) and s2 and s2[-1] not in _DUTCH_V:
+                        word = _dutch_undouble(s2)
+        elif suf == "baar":
+            if in_r2(len(stem)):
+                word = stem
+        elif suf in ("end", "ing"):
+            if in_r2(len(stem)):
+                word = stem
+                if word.endswith("ig") and in_r2(len(word) - 2) and (
+                    len(word) < 3 or word[-3] != "e"
+                ):
+                    word = word[:-2]
+                else:
+                    word = _dutch_undouble(word)
+        elif suf == "bar":
+            if in_r2(len(stem)) and e_removed:
+                word = stem
+        elif suf == "ig":
+            if in_r2(len(stem)) and (not stem or not stem.endswith("e")):
+                word = stem
+        break
+    # ---- step 4: undouble vowel (c V V c2, c2 ≠ I, V ∈ a/e/o/u)
+    if len(word) >= 4:
+        c1, v1, v2, c2 = word[-4], word[-3], word[-2], word[-1]
+        if (
+            c1 not in _DUTCH_V
+            and c2 not in _DUTCH_V
+            and c2 != "I"
+            and v1 == v2
+            and v1 in "aeou"
+        ):
+            word = word[:-2] + word[-1]
+    return word.replace("Y", "y").replace("I", "i")
+
+
+_CLASSIC_TOKEN_RE = re.compile(r"[a-z0-9_](?:[a-z0-9_.']*[a-z0-9_])?", re.IGNORECASE)
+_ACRONYM_RE = re.compile(r"^(?:[a-z]\.)+[a-z]?\.?$", re.IGNORECASE)
+
+
+def tokenize_classic(text: str | None) -> list[str]:
+    """ClassicTokenizer + ClassicFilter analog (MerescoStandardAnalyzer.java:
+    53-70): tokens keep internal apostrophes/dots, then the filter strips
+    possessive ``'s`` and removes dots from acronyms (I.B.M. → ibm, John's →
+    john), then lowercases.  Opt-in via ``IndexConfig(analyzer='classic')`` —
+    the frozen default spec (shared with the SQL oracle) is untouched."""
+    if not text:
+        return []
+    out: list[str] = []
+    for m in _CLASSIC_TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if tok.lower().endswith("'s"):
+            tok = tok[:-2]  # APOSTROPHE: strip possessive (ClassicFilter)
+        if _ACRONYM_RE.match(tok) or _ACRONYM_RE.match(tok + "."):
+            tok = tok.replace(".", "")  # ACRONYM: strip dots (ClassicFilter)
+        tok = tok.lower()
+        if tok:
+            out.append(tok)
+    return out
 
 
 def make_tokenizer(
@@ -117,7 +264,9 @@ def make_tokenizer(
     ``stem`` emits BOTH the original and the stemmed token when they differ
     (KeywordRepeatFilter → stemmer → RemoveDuplicatesTokenFilter semantics,
     MerescoDutchStemmingAnalyzer.java:49-66)."""
-    base = tokenize if kind == "standard" else tokenize_whitespace
+    base = {"standard": tokenize, "whitespace": tokenize_whitespace, "classic": tokenize_classic}[
+        kind
+    ]
     stemmer = dutch_stem if stem == "dutch" else None
 
     def one(text: str | None) -> list[str]:

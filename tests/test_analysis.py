@@ -37,3 +37,38 @@ def test_char_ngrams_boundaries():
     # $word$ boundary markers per the suggestion NGramAnalyzer
     assert char_ngrams("ab", 2) == ["$a", "ab", "b$"]
     assert char_ngrams("ab cd", 2) == ["$a", "ab", "b$", "$c", "cd", "d$"]
+
+
+def test_snowball_dutch_stemmer():
+    """Snowball Dutch algorithm applied mechanically — known demo pairs."""
+    from meresco_lucene_ray.analysis import dutch_stem
+
+    cases = {
+        "boeken": "boek", "lopen": "lop", "katten": "kat", "bedden": "bed",
+        "huizen": "huiz", "gemeente": "gemeent",
+        # step 4 vowel undoubling (maan→man class)
+        "grootte": "grot", "maan": "man",
+        # heden→heid then -heid removal in R2
+        "heerlijkheden": "heerlijk", "mogelijkheden": "mogelijk",
+        # -lijk in R2 with step-2 repeat
+        "lichamelijke": "licham", "lichamelijk": "licham",
+        # valid s-ending excludes j; gem- guard for -en
+        "gemeenten": "gemeent",
+        # short words untouched
+        "ja": "ja", "y": "y",
+    }
+    for w, exp in cases.items():
+        assert dutch_stem(w) == exp, (w, dutch_stem(w), exp)
+
+
+def test_classic_analyzer():
+    """ClassicFilter parity: possessive 's stripping + acronym dot removal
+    (MerescoStandardAnalyzer.java:53-70)."""
+    from meresco_lucene_ray.analysis import make_tokenizer, tokenize_classic
+
+    assert tokenize_classic("John's book") == ["john", "book"]
+    assert tokenize_classic("I.B.M. stock") == ["ibm", "stock"]
+    assert tokenize_classic("the U.S.A. O'Neil's car") == ["the", "usa", "o'neil", "car"]
+    assert tokenize_classic("") == []
+    tok = make_tokenizer("classic")
+    assert tok(["I.B.M.'s plan"]) == [["ibm", "plan"]]
