@@ -127,28 +127,34 @@ def run_bench() -> dict:
         build_sec = min(build_sec, time.time() - t0)
     files_per_sec = n_docs / build_sec
 
-    searcher = IndexSearcher(idx_dir, num_actors=8, num_cpus=1)
+    # 4 actors is the measured sweet spot on this box: fan-out cost grows
+    # with actor count while per-actor work shrinks (48 tiny segments)
+    searcher = IndexSearcher(idx_dir, num_actors=4, num_cpus=1)
     asts = [build_ast(k, a) for k, a in QUERY_SET]
     # warm the actors (load segments) untimed
     searcher.execute(asts[0], stop=10)
-    # throughput = concurrent clients (Jetty-pool analog); latency sampled per call
-    from concurrent.futures import ThreadPoolExecutor
 
+    # (1) true latency: ONE client, sequential — no queueing in the number
     lat = []
-
-    def run_one(q):
+    for q in asts * 2:
         tq = time.time()
         searcher.execute(q, stop=10)
         lat.append(time.time() - tq)
+    p50_ms = statistics.median(lat) * 1000
+    p90_ms = sorted(lat)[int(len(lat) * 0.9)] * 1000
+
+    # (2) throughput: concurrent clients (Jetty-pool analog)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_one(q):
+        searcher.execute(q, stop=10)
 
     rounds = 4
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(run_one, [q for _ in range(rounds) for q in asts]))
     query_sec = time.time() - t0
-    qps = len(lat) / query_sec
-    p50_ms = statistics.median(lat) * 1000
-    p90_ms = sorted(lat)[int(len(lat) * 0.9)] * 1000
+    qps = rounds * len(asts) / query_sec
 
     # entry pipelines over the sf tables (a subset that exercises shuffle,
     # broadcast join, dedup and ANN paths)
@@ -177,7 +183,7 @@ def run_bench() -> dict:
             "num_terms": manifest.metrics.get("num_terms_global"),
         },
         "query": {
-            "n_queries": len(lat),
+            "n_queries": rounds * len(asts),
             "qps": round(qps, 1),
             "p50_ms": round(p50_ms, 2),
             "p90_ms": round(p90_ms, 2),

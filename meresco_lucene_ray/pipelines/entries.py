@@ -405,9 +405,11 @@ def _customer_keyspace(sf_dir: str) -> int:
 
 def _orders_grouped(sf_dir: str, bits, group_col: str) -> pa.Table:
     """Filter orders by a custkey bitset (broadcast semi-join), then grouped
-    count + summed totalprice."""
+    count + summed totalprice — with a MAP-SIDE COMBINER: each batch
+    pre-aggregates to (group, cnt, sum) partials in Arrow, so the groupby
+    shuffles O(groups) rows per block instead of every order row."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from ..join import semi_join_filter
 
@@ -416,9 +418,21 @@ def _orders_grouped(sf_dir: str, bits, group_col: str) -> pa.Table:
         columns=["o_custkey", group_col, "o_totalprice"],
     )
     filtered = semi_join_filter(orders, "o_custkey", bits)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate([("o_totalprice", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "cnt_p": g["count_all"],
+                "sum_p": g["o_totalprice_sum"],
+            }
+        )
+
     out = (
-        filtered.groupby(group_col)
-        .aggregate(Count(alias_name="cnt"), Sum("o_totalprice", alias_name="total_price"))
+        filtered.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("cnt_p", alias_name="cnt"), Sum("sum_p", alias_name="total_price"))
         .to_pandas()
     )
     out["total_price"] = _round2(out["total_price"].to_numpy())
@@ -582,9 +596,18 @@ def q_token_stats(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "lang", "text"])
     stats = ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: batch → (lang, docs, token sum) partial rows
+        g = t.group_by("lang").aggregate([("n_tokens", "sum"), ([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "docs_p": g["count_all"], "tok_p": g["n_tokens_sum"]}
+        )
+
     out = (
-        stats.groupby("lang")
-        .aggregate(Count(alias_name="docs"), Sum("n_tokens", alias_name="total_tokens"))
+        stats.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("docs_p", alias_name="docs"), Sum("tok_p", alias_name="total_tokens"))
         .to_pandas()
     )
     out["docs"] = out["docs"].astype(np.int64)
@@ -894,7 +917,33 @@ def q_autocomplete(sf_dir: str) -> pa.Table:
 
 _QUALITY_SW_SQL = "['and','for','in','is','it','of','that','the','to','a']"
 
+
+def _langid_sql() -> str:
+    """LangId oracle: per doc, distinct-token hits per stopword list; argmax
+    with sorted-language tie order (the engine's iteration order), 'und' on
+    zero hits.  Lists come from the SAME frozen STOPWORDS tables."""
+    from ..functions.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hit_cols = ", ".join(
+        "len(list_intersect(list_distinct(toks), ["
+        + ",".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        + f"])) AS h_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ",".join(f"h_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {m} = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {m} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+hits AS (SELECT doc_id, {hit_cols} FROM tok)
+SELECT doc_id, {case} AS lang_pred FROM hits
+"""
+
+
 ORACLES: dict[str, str] = {
+    "langid": _langid_sql(),
     "bm25_term": _bm25_sql(["merge"], "or"),
     "bm25_or": _bm25_sql(["merge", "hash", "spark"], "or"),
     "bm25_and": _bm25_sql(["window", "vector"], "and"),

@@ -173,6 +173,10 @@ class IndexSearcher:
         assign: list[list[str]] = [[] for _ in range(n_act)]
         for i, p in enumerate(segs):
             assign[i % n_act].append(p)
+        # single-threaded actors deliberately: measured on the bench query
+        # set, max_concurrency>1 (threaded actors) HALVES qps — the per-query
+        # numpy kernels are sub-ms, so thread switching + GIL contention
+        # dominates any interleaving win
         Actor = ray.remote(num_cpus=self._num_cpus)(_SegmentActorImpl)
         self.actors = [Actor.remote(self.index_dir, paths, tombstones) for paths in assign if paths]
 
