@@ -98,9 +98,15 @@ class TokenizeStage:
       tfs (list<int32>), [positions flattened varint-ready], stored cols.
     """
 
-    def __init__(self, cfg: IndexConfig, shard_offset: int = 0):
+    def __init__(self, cfg: IndexConfig, shard_offset: int = 0, emit_dictionary: bool = False):
         self.cfg = cfg
         self.shard_offset = shard_offset
+        # fused-path option: emit terms as list<dictionary<string>> so the
+        # SegmentBuilder reuses the codes directly — no per-run string
+        # materialization and no second dictionary_encode pass (cuts the
+        # build task's memory traffic; only safe when tokenize+build run in
+        # the SAME task, i.e. the zero-shuffle file layout)
+        self.emit_dictionary = emit_dictionary
         self._tokenizer = make_tokenizer(cfg.analyzer, cfg.ascii_folding, cfg.stem)
 
     def _tokens_arrow(self, col: pa.ChunkedArray):
@@ -194,13 +200,26 @@ class TokenizeStage:
             pi = np.empty(0, dtype=np.int64)
 
         outer_off = np.concatenate(([0], np.cumsum(runs_per_doc))).astype(np.int32)
-        term_values = (
-            pa.compute.take(dictionary, pa.array(ti[run_ids]))
-            if run_ids.size
-            else pa.array([], type=pa.string())
-        )
-        if term_values.type != pa.string():
-            term_values = term_values.cast(pa.string())
+        if self.emit_dictionary:
+            dict_sa = (
+                dictionary
+                if dictionary.type == pa.string()
+                else dictionary.cast(pa.string())
+            )
+            term_values = pa.DictionaryArray.from_arrays(
+                pa.array(ti[run_ids].astype(np.int32), type=pa.int32())
+                if run_ids.size
+                else pa.array([], type=pa.int32()),
+                dict_sa,
+            )
+        else:
+            term_values = (
+                pa.compute.take(dictionary, pa.array(ti[run_ids]))
+                if run_ids.size
+                else pa.array([], type=pa.string())
+            )
+            if term_values.type != pa.string():
+                term_values = term_values.cast(pa.string())
         terms_col = pa.ListArray.from_arrays(pa.array(outer_off), term_values)
         tfs_col = pa.ListArray.from_arrays(pa.array(outer_off), pa.array(run_tf))
 
@@ -280,12 +299,29 @@ class SegmentBuilder:
 
         # Arrow dictionary-encode the term strings (C, no Python objects),
         # then rank-remap codes so the term dictionary comes out
-        # lexicographically sorted (the searcher's prefix scan bisects it)
-        enc = pc_.dictionary_encode(terms_col.values)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dict_arr = enc.dictionary
+        # lexicographically sorted (the searcher's prefix scan bisects it).
+        # When the fused tokenize stage already emitted dictionary-encoded
+        # terms (emit_dictionary=True), reuse its codes directly — the
+        # re-encode pass was round 1's largest avoidable memory traffic.
+        inner_vals = terms_col.values
+        if pa.types.is_dictionary(inner_vals.type):
+            codes = inner_vals.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dict_arr = inner_vals.dictionary
+            # the tokenize dictionary may carry entries whose only docs were
+            # dropped by the upsert dedup — compact to PRESENT terms so df
+            # rows and the term dictionary stay aligned
+            used = np.zeros(len(dict_arr), dtype=bool)
+            used[codes] = True
+            if not used.all():
+                remap = (np.cumsum(used) - 1).astype(np.int64)
+                codes = remap[codes]
+                dict_arr = dict_arr.filter(pa.array(used))
+        else:
+            enc = pc_.dictionary_encode(inner_vals)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dict_arr = enc.dictionary
         rank_order = pc_.sort_indices(dict_arr).to_numpy(zero_copy_only=False).astype(np.int64)
         rank = np.empty(rank_order.size, dtype=np.int64)
         rank[rank_order] = np.arange(rank_order.size)
@@ -566,7 +602,8 @@ class FileSegmentBuilder:
     def __init__(self, index_dir: str, cfg: IndexConfig):
         self.index_dir = index_dir
         self.cfg = cfg
-        self._tokenize = TokenizeStage(cfg)
+        # fused in-task handoff: dictionary-encoded terms, no re-encode
+        self._tokenize = TokenizeStage(cfg, emit_dictionary=True)
         self._builder = SegmentBuilder(index_dir, cfg)
 
     def __call__(self, batch) -> pa.Table:

@@ -28,12 +28,20 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     The sizes array lets callers slice one big buffer into per-term /
     per-posting spans without re-encoding — the segment builder encodes a
     whole segment's postings in O(max_bytes) numpy passes total.
+
+    Fast paths for the dominant distributions: all-single-byte arrays (tf
+    columns, dense docid gaps) are one astype — no scatter at all; in the
+    general case the first byte is written unmasked and only the small
+    multi-byte tail pays fancy-index scatters.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
+    big = v >> np.uint64(7)
+    if not big.any():
+        return v.astype(np.uint8).tobytes(), np.ones(v.size, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
-    shifted = v >> np.uint64(7)
+    shifted = big
     while True:
         mask = shifted > 0
         if not mask.any():
@@ -44,7 +52,11 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     out = np.empty(total, dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
     maxb = int(nbytes.max())
-    for k in range(maxb):
+    # byte 0 exists for EVERY value — no mask needed
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        (nbytes > 1).astype(np.uint8) << 7
+    )
+    for k in range(1, maxb):
         mask = nbytes > k
         byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
@@ -57,29 +69,7 @@ def varint_encode(values: np.ndarray) -> bytes:
 
     Works in O(max_bytes) numpy passes (≤10 for uint64).
     """
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    threshold = np.uint64(1 << 7)
-    shifted = v >> np.uint64(7)
-    while True:
-        mask = shifted > 0
-        if not mask.any():
-            break
-        nbytes[mask] += 1
-        shifted = shifted >> np.uint64(7)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    maxb = int(nbytes.max())
-    for k in range(maxb):
-        mask = nbytes > k
-        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
-        out[starts[mask] + k] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:

@@ -108,7 +108,6 @@ def test_gate_hygiene():
     assert rows_only == {
         "minhash_lsh_buckets",
         "simhash",
-        "langid",
         "fingerprint",
         "lsh_ann_topk",
         "cluster_topdocs",
