@@ -27,7 +27,7 @@ from typing import Any, Sequence
 import numpy as np
 import pyarrow as pa
 
-from .ast import BoolQ, KeyFilterQ, Occur, query_terms
+from .ast import BoolQ, KeyFilterQ, MatchAllQ, Occur, query_terms
 from .scorer import BM25
 from .segment import SegmentSearcher
 from ..index.manifest import IndexManifest
@@ -284,7 +284,7 @@ class IndexSearcher:
 
         if dedup_field:
             page, total, total_with_dups = self._execute_dedup(
-                q, stats, start, stop, dedup_field, dedup_sort_field, cols
+                q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort
             )
         else:
             k = max(stop, 1)
@@ -358,14 +358,22 @@ class IndexSearcher:
             df = df.sort_values(by=["score", "docid"], ascending=[False, True], kind="mergesort")
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
-    def _execute_dedup(self, q, stats, start, stop, dedup_field, dedup_sort_field, cols):
+    def _execute_dedup(
+        self, q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort=None
+    ):
         """Exact dedup/grouping (Q11): per-segment per-key aggregates over ALL
         matching docs, merged per key — group rank = best score in group
         (ties min docid), representative = max dedup_sort_field (ties min
         docid), duplicateCount + totalWithDuplicates like
         DeDupFilterSuperCollector.java:66-79.  Unlike the reference there is
         no overfetch-retry loop (Lucene.java:284-320): the aggregate already
-        sees every group, so pagination is exact by construction."""
+        sees every group, so pagination is exact by construction.
+
+        With a ``sort`` spec, groups are ranked by the representatives' sort
+        fields (DeDupFilterSuperCollector delegating to a
+        TopFieldSuperCollector, DeDupFilterSuperCollector.java:43-258): the
+        representatives' sort columns are fetched once (O(groups) small rows)
+        and ordered with the same missing-value fills as the non-dedup path."""
         import ray
 
         parts = ray.get(
@@ -389,7 +397,25 @@ class IndexSearcher:
         )
         cnt = df.groupby("key", sort=False)["cnt"].sum().reset_index()
         g = rank.merge(rep, on="key").merge(cnt, on="key")
-        g = g.sort_values(["max_score", "rank_docid"], ascending=[False, True])
+        field_sort = [s for s in (sort or []) if s[0] != "score"]
+        if field_sort:
+            # rank groups by the REPRESENTATIVES' sort fields
+            sort_cols = [c for c, _, _ in field_sort]
+            vals = self.fetch(g["repr_docid"].to_numpy(), sort_cols)
+            gv = g.merge(
+                vals.to_pandas().rename(columns={"docid": "repr_docid"}),
+                on="repr_docid",
+                how="left",
+            )
+            merged = pa.Table.from_pandas(
+                gv.rename(columns={"repr_docid": "docid"}), preserve_index=False
+            )
+            ordered = self._merge_hits(merged, field_sort).to_pandas()
+            g = ordered.rename(columns={"docid": "repr_docid"}).drop(
+                columns=[c for c in sort_cols if c in ordered.columns]
+            )
+        else:
+            g = g.sort_values(["max_score", "rank_docid"], ascending=[False, True])
         total = len(g)
         page = g.iloc[start:stop]
         fetched = self.fetch(
@@ -522,6 +548,25 @@ class IndexSearcher:
         the text field plus stored docvalue columns."""
         cfg = self.manifest.config
         return sorted({cfg.get("text_col", "content"), *cfg.get("stored_cols", ())})
+
+    def drilldown_fieldnames(
+        self, col: str, path: Sequence[str] = (), limit: int = 100
+    ) -> list[str]:
+        """Taxonomy children listing (drilldownFieldnames, Lucene.java:692-713):
+        the distinct child values one level below ``path`` in a hierarchical
+        facet column, most-frequent first (the reference returns taxonomy
+        order; count order is this engine's facet convention)."""
+        res = self.execute(MatchAllQ(), stop=0, facets=[(col, "hier")])
+        data = res.drilldown_data.get(col, {})
+        prefix = ">".join(path) + ">" if path else ""
+        out = []
+        for k in data:
+            if not isinstance(k, str) or not k.startswith(prefix):
+                continue
+            tail = k[len(prefix):]
+            if tail and ">" not in tail:
+                out.append(tail)
+        return out[:limit]
 
     def spell_suggest(self, term: str, count: int = 10, mode: str = "NOT_IN_INDEX"):
         """Q14 spell suggestions over the live term dictionary."""

@@ -31,6 +31,9 @@ from ..analysis import char_ngrams, tokenize, word_shingles
 from .spell import levenshtein
 
 
+CONCAT_MARKER = "$$--$$"  # SuggestionIndex.java:57
+
+
 def build_suggestion_index(
     ds,
     value_col: str,
@@ -39,9 +42,16 @@ def build_suggestion_index(
     min_shingle: int = 1,
     max_shingle: int = 3,
     num_parts: int = 64,
+    type_col: str | None = None,
+    creator_col: str | None = None,
 ) -> str:
     """Shingle-explode the value column, aggregate counts (+ filter keys),
     write the suggestion table atomically (temp file + rename).
+
+    Each suggestion term carries the value's type/creator via the reference's
+    ``type$$--$$creator$$--$$value`` scheme (SuggestionIndex.java:57,116) —
+    distinct (type, creator, shingle) combinations are distinct suggestions,
+    filterable at query time (O27a).
 
     The aggregate groups by a HASH PARTITION of the shingle space and
     dictionary-encodes/run-detects inside each part — Python cost is
@@ -52,13 +62,17 @@ def build_suggestion_index(
 
     def explode(batch: pa.Table) -> pa.Table:
         values = batch[value_col].to_pylist()
-        keys = batch[key_col].to_pylist() if key_col else [None] * len(values)
+        n_rows = len(values)
+        keys = batch[key_col].to_pylist() if key_col else [None] * n_rows
+        types = batch[type_col].to_pylist() if type_col else [None] * n_rows
+        creators = batch[creator_col].to_pylist() if creator_col else [None] * n_rows
         out_sh, out_key = [], []
-        for v, k in zip(values, keys):
+        for v, k, ty, cr in zip(values, keys, types, creators):
             toks = tokenize(v or "")
+            prefix = f"{ty or ''}{CONCAT_MARKER}{cr or ''}{CONCAT_MARKER}"
             for n in range(min_shingle, max_shingle + 1):
                 for i in range(len(toks) - n + 1):
-                    out_sh.append(" ".join(toks[i : i + n]))
+                    out_sh.append(prefix + " ".join(toks[i : i + n]))
                     out_key.append(k if k is not None else -1)
         sh = pa.array(out_sh, type=pa.string())
         part = (fnv1a_arrow(sh) % np.uint64(num_parts)).astype(np.int64)
@@ -133,7 +147,22 @@ class AutocompleteReader:
 
     def __init__(self, path: str):
         t = pq.read_table(path)
-        self.shingles: list[str] = t["shingle"].to_pylist()
+        raw: list[str] = t["shingle"].to_pylist()
+        # split the type$$--$$creator$$--$$value term scheme
+        # (SuggestionNGramIndex.java:129); legacy rows without the marker
+        # read as untyped suggestions
+        self.types: list[str] = []
+        self.creators: list[str] = []
+        self.shingles: list[str] = []
+        for r in raw:
+            parts = r.split(CONCAT_MARKER, 2)
+            if len(parts) == 3:
+                ty, cr, sh = parts
+            else:
+                ty, cr, sh = "", "", r
+            self.types.append(ty)
+            self.creators.append(cr)
+            self.shingles.append(sh)
         self.counts = t["count"].to_numpy()
         self.keys: list[list[int]] = t["keys"].to_pylist()
         # index BOTH bigrams and trigrams per shingle — the reference keeps
@@ -169,10 +198,18 @@ class AutocompleteReader:
         value: str,
         limit: int = 10,
         filter_keys: set[int] | None = None,
+        filters: list[str] | None = None,
     ) -> list[tuple[str, float]]:
+        """``filters``: reference-style ``field=value`` strings over the
+        ``type``/``creator`` fields (SuggestionNGramIndex.createFilter,
+        :268-280) — every filter must match (FILTER conjunction)."""
         grams = self._query_ngrams(value, trailing=False)
         if not grams:
             return []
+        field_filters: list[tuple[str, str]] = []
+        for f in filters or []:
+            fld, _, val = f.partition("=")
+            field_filters.append((fld, val))
         candidate_ids: np.ndarray | None = None
         for g in grams:
             ids = np.asarray(self.ngram_index.get(g, []), dtype=np.int64)
@@ -188,6 +225,10 @@ class AutocompleteReader:
         for i in candidate_ids.tolist():
             if filter_keys is not None and not (set(self.keys[i]) & filter_keys):
                 continue
+            if field_filters:
+                row = {"type": self.types[i], "creator": self.creators[i]}
+                if any(row.get(fld) != val for fld, val in field_filters):
+                    continue
             s = self.shingles[i]
             dist = levenshtein(vnorm, s)
             distance_score = max(0.0, -math.log(dist + 1) / 4 + 1)

@@ -129,3 +129,50 @@ def test_autocomplete_phrase_and_filter(suggestion_index):
     assert all("hamster" in s or s in ("harry", "harry the", "the") or "harry" in s for s in got_k2)
     got_k3 = suggestion_index.suggest("har", filter_keys={3})
     assert got_k3 == []
+
+
+def test_suggestion_type_creator_filters(ray_session, tmp_path):
+    """O27a term scheme: type$$--$$creator$$--$$value suggestions with
+    field=value filters (SuggestionIndex.java:57,116; createFilter :268-280)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from meresco_lucene_ray.suggest.autocomplete import (
+        AutocompleteReader,
+        build_suggestion_index,
+    )
+
+    rows = pa.table(
+        {
+            "title": ["harry potter", "harry beton", "harry potter"],
+            "typ": ["uri:book", "uri:book", "uri:movie"],
+            "who": ["rowling", None, "columbus"],
+            "key": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "sugg_tc.parquet")
+    build_suggestion_index(
+        rd.from_arrow(rows), "title", path, key_col="key",
+        type_col="typ", creator_col="who",
+    )
+    r = AutocompleteReader(path)
+    # unfiltered: all shingles reachable
+    assert {s for s, _ in r.suggest("ha")} >= {"harry"}
+    # type filter: 'harry potter' exists as book AND movie
+    movie = r.suggest("harry potter", filters=["type=uri:movie"])
+    assert [s for s, _ in movie] == ["harry potter"]
+    idx = [
+        i for i, sh in enumerate(r.shingles)
+        if sh == "harry potter" and r.types[i] == "uri:movie"
+    ]
+    assert idx and r.creators[idx[0]] == "columbus"
+    # creator filter
+    rowling = {s for s, _ in r.suggest("harry", filters=["creator=rowling"])}
+    assert rowling == {"harry", "harry potter", "potter"} & rowling and "harry" in rowling
+    # conjunction of filters
+    both = r.suggest("harry", filters=["type=uri:book", "creator=rowling"])
+    assert {s for s, _ in both} <= {"harry", "harry potter", "potter"}
+    assert r.suggest("harry", filters=["type=uri:cd"]) == []
+    # missing creator stored as empty string
+    beton = r.suggest("harry beton", filters=["creator="])
+    assert [s for s, _ in beton] == ["harry beton"]

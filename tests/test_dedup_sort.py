@@ -1,0 +1,97 @@
+"""Dedup combined with FIELD SORT (DeDupFilterSuperCollector delegating to a
+TopFieldSuperCollector — DeDupFilterSuperCollector.java:43-258) and the
+drilldownFieldnames taxonomy children listing (Lucene.java:692-713)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from meresco_lucene_ray.index import IndexConfig, build_index
+from meresco_lucene_ray.query import IndexSearcher, MatchAllQ, TermQ
+
+
+@pytest.fixture(scope="module")
+def grouped_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    n = 24
+    rows = {
+        "__id__": [f"d{i:03d}" for i in range(n)],
+        "text": ["common word%d" % i for i in range(n)],
+        "grp": [f"g{i % 5}" for i in range(n)],
+        "prio": pa.array([(i * 7) % 23 for i in range(n)], type=pa.int64()),
+        "name": pa.array(
+            [None if i % 6 == 0 else f"n{(i * 3) % 17:02d}" for i in range(n)],
+            type=pa.string(),
+        ),
+        "cat": pa.array(
+            [["top", f"mid{i % 3}", f"leaf{i % 4}"] for i in range(n)],
+            type=pa.list_(pa.string()),
+        ),
+    }
+    d = str(tmp_path_factory.mktemp("ddsort") / "idx")
+    cfg = IndexConfig(
+        text_col="text",
+        id_col="__id__",
+        stored_cols=("grp", "prio", "name", "cat"),
+        num_shards=3,
+    )
+    build_index(rd.from_arrow(pa.table(rows)), d, cfg)
+    return d, rows
+
+
+def test_dedup_with_field_sort(grouped_index):
+    d, rows = grouped_index
+    s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
+    res = s.execute(
+        TermQ("common"),
+        stop=5,
+        dedup_field="grp",
+        dedup_sort_field="prio",
+        sort=[("prio", True, None)],
+        stored_fields=("prio",),
+    )
+    assert res.total == 5
+    assert res.total_with_duplicates == 24
+    # expected: representative per group = max prio doc; groups ordered by
+    # representative prio desc
+    prios = [int(x) for x in rows["prio"].to_pylist()]
+    best = {}
+    for i in range(24):
+        g = rows["grp"][i]
+        if g not in best or prios[i] > best[g]:
+            best[g] = prios[i]
+    expect_order = [g for g, _ in sorted(best.items(), key=lambda kv: -kv[1])]
+    assert res.hits["grp"].to_pylist() == expect_order
+    assert res.hits["prio"].to_pylist() == sorted(best.values(), reverse=True)
+    # counts per group
+    assert all(c == 24 // 5 or c == 24 // 5 + 1 for c in res.hits["duplicateCount"].to_pylist())
+
+
+def test_dedup_with_nullable_field_sort(grouped_index):
+    d, rows = grouped_index
+    s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
+    # ascending sort on a nullable string: None fills "" → sorts first
+    res = s.execute(
+        TermQ("common"),
+        stop=5,
+        dedup_field="grp",
+        sort=[("name", False, None)],
+        stored_fields=("name",),
+    )
+    assert res.total == 5
+    got = res.hits["name"].to_pylist()
+    filled = ["" if v is None else v for v in got]
+    assert filled == sorted(filled)
+
+
+def test_drilldown_fieldnames(grouped_index):
+    d, _ = grouped_index
+    s = IndexSearcher(d, num_actors=1, num_cpus=0.25)
+    top = s.drilldown_fieldnames("cat")
+    assert top == ["top"]
+    mids = set(s.drilldown_fieldnames("cat", ["top"]))
+    assert mids == {"mid0", "mid1", "mid2"}
+    leaves = set(s.drilldown_fieldnames("cat", ["top", "mid0"]))
+    assert leaves <= {"leaf0", "leaf1", "leaf2", "leaf3"} and leaves
+    assert s.drilldown_fieldnames("cat", ["nope"]) == []
