@@ -744,6 +744,58 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     )
 
 
+def q_media_features(sf_dir: str) -> pa.Table:
+    """Multimodal pipeline end-to-end with REAL decoders: a deterministic
+    media table (P6 PPM images + PCM WAV audio) → actor-pool image feature
+    extraction + audio frame sampling.  Output is deterministic; rows-only
+    (binary decode is not SQL-expressible)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        AudioFrameSampleStage,
+        ImageDecodeStage,
+        synthesize_media,
+    )
+
+    media = synthesize_media(120)
+    images = media.filter(pa.compute.equal(media["kind"], "image"))
+    feats = (
+        rd.from_arrow(images)
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs={"size": (16, 16), "fake": False},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    audio = media.filter(pa.compute.equal(media["kind"], "audio"))
+    frames = AudioFrameSampleStage(n_frames=4, fake=False)(audio).to_pandas()
+    frames = frames.sort_values("media_id")
+    return pa.table(
+        {
+            "media_id": pa.array(
+                np.concatenate([feats["media_id"].to_numpy(), frames["media_id"].to_numpy()]).astype(np.int64)
+            ),
+            "kind": pa.array(
+                feats["kind"].tolist() + frames["kind"].tolist(), type=pa.string()
+            ),
+            "f0": pa.array(
+                _round4(
+                    np.concatenate(
+                        [
+                            np.asarray([f[0] for f in feats["features"]]),
+                            np.asarray([f[0] for f in frames["frames"]]),
+                        ]
+                    )
+                )
+            ),
+        }
+    )
+
+
 def q_lsh_ann(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -1185,6 +1237,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "lsh_ann_topk": q_lsh_ann,
+    "media_features": q_media_features,
     "cluster_topdocs": q_cluster_topdocs,
     "autocomplete": q_autocomplete,
 }

@@ -128,12 +128,58 @@ def test_multimodal_stub_pipeline(ray_session):
     assert all(len(f) == 4 for f in frames["frames"].to_pylist())
 
 
-def test_multimodal_real_decode_raises():
+def test_multimodal_real_decode(ray_session):
+    """REAL decode paths (no external libs): P6 PPM via the numpy codec,
+    PCM WAV via stdlib wave — run through an actor-pool map_batches."""
+    import ray.data as rd
+
+    media = synthesize_media(12)
+    images = media.filter(pa.compute.equal(media["kind"], "image"))
+    feats = (
+        rd.from_arrow(images)
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs={"size": (16, 16), "fake": False},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    assert len(feats) == 4
+    for f in feats["features"]:
+        assert len(f) == 8
+        # gradient image: red/green channel means near 0.5, aspect 1.0
+        assert 0.3 < f[0] < 0.7 and 0.3 < f[1] < 0.7
+        assert f[6] == pytest.approx(1.0)
+    audio = media.filter(pa.compute.equal(media["kind"], "audio"))
+    frames = AudioFrameSampleStage(n_frames=4, fake=False)(audio)
+    for f in frames["frames"].to_pylist():
+        # sine at 0.5 amplitude → window RMS ≈ 0.35
+        assert len(f) == 4 and all(0.2 < v < 0.5 for v in f)
+    # deterministic real decode
+    again = AudioFrameSampleStage(n_frames=4, fake=False)(audio)
+    assert again["frames"].to_pylist() == frames["frames"].to_pylist()
+
+
+def test_multimodal_unsupported_raises():
+    from meresco_lucene_ray.functions.multimodal import VideoFrameSampleStage
+
+    bad = pa.table(
+        {"payload": pa.array([b"\x89PNG not really"], type=pa.large_binary())}
+    )
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("Pillow present; stub gate not applicable")
+        pytest.skip("Pillow present; decode gate not applicable")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        ImageDecodeStage(fake=False)
+        ImageDecodeStage(fake=False)(bad)
+    with pytest.raises(NotImplementedError):
+        AudioFrameSampleStage(fake=False)(bad)
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(fake=False)
+    # fake video frames work on arbitrary bytes
+    v = VideoFrameSampleStage(n_frames=3, fake=True)(bad)
+    assert len(v["frames"][0].as_py()) == 3

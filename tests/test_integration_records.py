@@ -110,6 +110,7 @@ def test_gate_hygiene():
         "simhash",
         "fingerprint",
         "lsh_ann_topk",
+        "media_features",
         "cluster_topdocs",
         "autocomplete",
         "neardup_verified",
