@@ -994,8 +994,134 @@ SELECT doc_id, {case} AS lang_pred FROM hits
 """
 
 
+# ---- hash-family oracles: FNV-1a 64 expressed in DuckDB ------------------
+# list_reduce over codepoints (tokens are pure [a-z0-9_] so codepoint ==
+# byte) with HUGEINT arithmetic mod 2^64 — bit-identical to
+# functions/hashing.fnv1a_arrow / textstats.hash_str.
+
+def _fnv_sql(var: str) -> str:
+    return f"""list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        [ascii(substring({var}, i, 1))::HUGEINT for i in range(1, length({var})+1)]),
+      (h, c) -> (xor(h::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    )"""
+
+
+def _fingerprint_sql() -> str:
+    """Rolling polynomial fingerprint: h = (h·1000003 + fnv32(tok)) mod 2^61-1."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h32 AS (
+  SELECT doc_id, list_transform(toks, t -> ({_fnv_sql('t')}) % 4294967296::HUGEINT) AS codes
+  FROM tok
+)
+SELECT doc_id,
+  list_reduce(list_prepend(0::HUGEINT, codes),
+    (h, c) -> (h * 1000003::HUGEINT + c) % 2305843009213693951::HUGEINT
+  )::BIGINT AS fingerprint
+FROM h32
+"""
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash: per-bit tf-weighted votes over unique-token FNV hashes,
+    reinterpreted to signed int64 like the engine output."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+uniq AS (SELECT doc_id, t, count(*)::BIGINT AS cnt FROM occ GROUP BY doc_id, t),
+hashed AS (SELECT doc_id, cnt, ({_fnv_sql('t')})::UBIGINT AS h FROM uniq),
+bits AS (
+  SELECT doc_id, j.j, sum(cnt * (2 * ((h >> j.j) & 1)::BIGINT - 1)) AS vote
+  FROM hashed, (SELECT unnest(range(64)) AS j) j
+  GROUP BY doc_id, j.j
+),
+vals AS (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::HUGEINT << j) ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+  (CASE WHEN COALESCE(v.v, 0) >= 9223372036854775808::HUGEINT
+        THEN COALESCE(v.v, 0) - 18446744073709551616::HUGEINT
+        ELSE COALESCE(v.v, 0) END)::BIGINT AS simhash
+FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
+"""
+
+
+def _minhash_ctes(num_perm: int, bands: int, shingle_n: int) -> str:
+    """Shared CTE chain tok→shingles→signatures→band rows, generated from the
+    SAME frozen MinHasher(seed=7) permutation constants as the engine."""
+    from ..functions.dedup import MERSENNE, MinHasher
+
+    mh = MinHasher("text", num_perm=num_perm, shingle_n=shingle_n)
+    p, m64 = MERSENNE, 1 << 64
+    rpb = num_perm // bands
+    n = shingle_n
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(xs, x -> ((({a}::HUGEINT * x) % {m64}::HUGEINT)"
+        f" % {p}::HUGEINT + {b}::HUGEINT) % {p}::HUGEINT)) AS s{k}"
+        for k, (a, b) in enumerate(zip(mh.a.tolist(), mh.b.tolist()))
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"s{b * rpb + j}::VARCHAR" for j in range(rpb))
+        + ") AS bstr FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {n}
+         THEN [array_to_string(toks[i:i+{n - 1}], ' ') for i in range(1, len(toks)-{n - 2})]
+         ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tok
+),
+xs_t AS (SELECT doc_id, list_transform(shingles, s -> ({_fnv_sql('s')}) % {p}::HUGEINT) AS xs FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM xs_t),
+bandrows AS ({band_union})"""
+
+
+def _minhash_buckets_sql() -> str:
+    """Candidate buckets of the q_minhash_buckets entry (num_perm=32, bands=8)."""
+    return f"""{_minhash_ctes(32, 8, 3)},
+hashed AS (
+  SELECT doc_id, band,
+    (({_fnv_sql('bstr')})::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT AS band_hash
+  FROM bandrows
+)
+SELECT band::BIGINT AS band, band_hash, list_sort(list(doc_id)) AS ids
+FROM hashed GROUP BY band, band_hash HAVING count(*) >= 2
+"""
+
+
+def _neardup_verified_sql() -> str:
+    """Full candidate-then-verify pipeline (num_perm=32, bands=16, n=2):
+    buckets → distinct pairs → exact shingle-set Jaccard ≥ 0.5."""
+    return f"""{_minhash_ctes(32, 16, 2)},
+hashed AS (SELECT doc_id, band, ({_fnv_sql('bstr')})::UBIGINT AS band_hash FROM bandrows),
+pairs AS (
+  SELECT DISTINCT h1.doc_id AS id_a, h2.doc_id AS id_b
+  FROM hashed h1 JOIN hashed h2
+    ON h1.band = h2.band AND h1.band_hash = h2.band_hash AND h1.doc_id < h2.doc_id
+),
+ssets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+jac AS (
+  SELECT p.id_a, p.id_b,
+    len(list_intersect(a.ss, b.ss))::DOUBLE /
+      greatest(1, len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))::DOUBLE AS j
+  FROM pairs p JOIN ssets a ON p.id_a = a.doc_id JOIN ssets b ON p.id_b = b.doc_id
+)
+SELECT id_a, id_b, {_round4_sql('j')} AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+
 ORACLES: dict[str, str] = {
     "langid": _langid_sql(),
+    "fingerprint": _fingerprint_sql(),
+    "simhash": _simhash_sql(),
+    "minhash_lsh_buckets": _minhash_buckets_sql(),
+    "neardup_verified": _neardup_verified_sql(),
     "bm25_term": _bm25_sql(["merge"], "or"),
     "bm25_or": _bm25_sql(["merge", "hash", "spark"], "or"),
     "bm25_and": _bm25_sql(["window", "vector"], "and"),

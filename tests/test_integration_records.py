@@ -106,13 +106,9 @@ def test_gate_hygiene():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "minhash_lsh_buckets",
-        "simhash",
-        "fingerprint",
         "lsh_ann_topk",
         "media_features",
         "cluster_topdocs",
         "autocomplete",
-        "neardup_verified",
     }
     assert len(oracles) >= 32
