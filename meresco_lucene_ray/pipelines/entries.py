@@ -1116,12 +1116,80 @@ SELECT id_a, id_b, {_round4_sql('j')} AS jaccard FROM jac WHERE j >= 0.5
 """
 
 
+def _autocomplete_sql() -> str:
+    """Full O27 pipeline in SQL: title = first 4 tokens, 1..3-word shingles
+    with counts, char-ngram AND candidate match for query 'th' (boundary
+    bigrams, trailing gram skipped), levenshtein distance re-ranking with the
+    reference's sortScore = distanceScore · count² · (matchScore·2)."""
+    return r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents),
+title AS (SELECT doc_id, toks[1:4] AS t4 FROM tok),
+shing AS (
+  SELECT unnest(flatten([[array_to_string(t4[i:i+n-1], ' ') for i in range(1, len(t4)-n+2)] for n in range(1, 4)])) AS s
+  FROM title
+),
+cnt AS (SELECT s, count(*)::BIGINT AS c FROM shing GROUP BY s),
+grams AS (
+  SELECT s, c, flatten(list_transform(string_split(s, ' '), w ->
+      [substring('$'||w||'$', i, 2) for i in range(1, length(w)+2)]
+      || CASE WHEN length(w) > 2 THEN [substring('$'||w||'$', i, 3) for i in range(1, length(w)+1)] ELSE [] END
+  )) AS g FROM cnt
+),
+cand AS (SELECT s, c FROM grams WHERE list_has_all(g, ['$t','th'])),
+scored AS (
+  SELECT s AS suggestion,
+    greatest(0, -ln(levenshtein('th', s) + 1)/4 + 1) * c * c * (CASE WHEN starts_with(s, 'th') THEN 1.0 ELSE 0.5 END * 2) AS ss
+  FROM cand
+)
+SELECT suggestion, floor(ss*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY ss DESC, suggestion LIMIT 10
+"""
+
+
+def _lsh_ann_sql(k: int = 10, min_cand: int = 40, n_planes: int = 8, dim: int = 64) -> str:
+    """Multiprobe LSH ANN in SQL: random-plane signatures (the SAME seeded
+    plane matrix as functions.ann.LshBucketer embedded as literals), probes
+    expanding by Hamming distance until the candidate budget is covered,
+    cosine top-k over the probed buckets."""
+    from ..functions.ann import LshBucketer
+
+    planes = LshBucketer(dim, n_planes, 11).planes
+    plane_values = ",".join(
+        f"({j}, [{','.join(repr(float(x)) for x in planes[j])}]::DOUBLE[])"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {plane_values}) AS t(j, p)),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+    (SELECT sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1::BIGINT << j) ELSE 0 END) FROM planes) AS sig
+  FROM vecs
+),
+qrow AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+bucket_sizes AS (SELECT sig, count(*)::BIGINT AS c FROM sigs GROUP BY sig),
+ordered AS (
+  SELECT sig, c,
+    sum(c) OVER (ORDER BY bit_count(xor(sig, (SELECT qsig FROM qrow))), sig
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_before
+  FROM bucket_sizes
+),
+probe AS (SELECT sig FROM ordered WHERE cum_before < greatest({k}, {min_cand})),
+cand AS (SELECT s.vec_id, s.v FROM sigs s JOIN probe p ON s.sig = p.sig),
+scored AS (SELECT vec_id, list_cosine_similarity(v, (SELECT qv FROM qrow)) AS cos FROM cand)
+SELECT vec_id, floor(cos*10000 + 0.5)/10000 AS cosine
+FROM scored ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "langid": _langid_sql(),
     "fingerprint": _fingerprint_sql(),
     "simhash": _simhash_sql(),
     "minhash_lsh_buckets": _minhash_buckets_sql(),
     "neardup_verified": _neardup_verified_sql(),
+    "autocomplete": _autocomplete_sql(),
+    "lsh_ann_topk": _lsh_ann_sql(),
     "bm25_term": _bm25_sql(["merge"], "or"),
     "bm25_or": _bm25_sql(["merge", "hash", "spark"], "or"),
     "bm25_and": _bm25_sql(["window", "vector"], "and"),

@@ -106,9 +106,7 @@ def test_gate_hygiene():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "lsh_ann_topk",
         "media_features",
         "cluster_topdocs",
-        "autocomplete",
     }
     assert len(oracles) >= 32
