@@ -122,6 +122,85 @@ class _SegmentActorImpl:
         return pa.concat_tables(out) if out else None
 
 
+class TermStatsReader:
+    """Driver-side df lookups over the term-sorted ``termstats.parquet``.
+
+    Small tables load whole into sorted arrays (one bisect per term).  Past
+    ``max_full_load_rows`` — the 10^12-doc-vocabulary regime where the stats
+    table is GBs — the reader bisects PARQUET ROW-GROUP min/max statistics
+    instead, loads only the row group(s) a query's terms land in, and caches
+    them (LRU): per query cost is O(terms · log groups) + one ~100k-row read
+    per cold group, never a whole-vocabulary materialization."""
+
+    def __init__(self, path: str, max_full_load_rows: int = 5_000_000, cache_groups: int = 32):
+        import pyarrow.parquet as pq
+
+        self._pf = pq.ParquetFile(path)
+        md = self._pf.metadata
+        self.full: tuple | None = None
+        self._cache_groups = cache_groups
+        if md.num_rows <= max_full_load_rows:
+            t = self._pf.read(columns=["term", "df"])
+            self.full = (
+                t["term"].to_numpy(zero_copy_only=False),
+                t["df"].to_numpy(zero_copy_only=False),
+            )
+            return
+        term_idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "term"
+        )
+        self._rg_max: list[str] = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(term_idx).statistics
+            self._rg_max.append(st.max)
+        self._rg_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _group_arrays(self, gi: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._rg_cache.get(gi)
+        if hit is not None:
+            return hit
+        t = self._pf.read_row_group(gi, columns=["term", "df"])
+        arrs = (
+            t["term"].to_numpy(zero_copy_only=False),
+            t["df"].to_numpy(zero_copy_only=False),
+        )
+        if len(self._rg_cache) >= self._cache_groups:
+            self._rg_cache.pop(next(iter(self._rg_cache)))
+        self._rg_cache[gi] = arrs
+        return arrs
+
+    def df_of(self, terms: Sequence[str]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if self.full is not None:
+            tarr, darr = self.full
+            pos = np.searchsorted(tarr, np.asarray(terms, dtype=object))
+            for t, p in zip(terms, pos.tolist()):
+                if p < tarr.size and tarr[p] == t:
+                    out[t] = int(darr[p])
+            return out
+        import bisect
+
+        for t in terms:
+            gi = bisect.bisect_left(self._rg_max, t)
+            if gi >= len(self._rg_max):
+                continue
+            tarr, darr = self._group_arrays(gi)
+            p = int(np.searchsorted(tarr, t))
+            if p < tarr.size and tarr[p] == t:
+                out[t] = int(darr[p])
+        return out
+
+    def all_stats(self) -> dict[str, int]:
+        if self.full is not None:
+            tarr, darr = self.full
+            return {t: int(d) for t, d in zip(tarr.tolist(), darr.tolist())}
+        acc: dict[str, int] = {}
+        for gi in range(len(self._rg_max)):
+            tarr, darr = self._group_arrays(gi)
+            acc.update(zip(tarr.tolist(), (int(d) for d in darr.tolist())))
+        return acc
+
+
 @dataclass
 class SearchResult:
     """LuceneResponse analog
@@ -193,27 +272,14 @@ class IndexSearcher:
         return True
 
     # ---- helpers --------------------------------------------------------
-    def _termstats_arrays(self):
-        """Sorted (terms, dfs) from the build-published global stats table —
-        written atomically with every manifest (build/add/delete/merge), so
-        a driver-side bisect replaces the per-query df fan-out round and
-        every query needs ONE actor round trip.
-
-        Scale note: at a 10^12-doc vocabulary, load per-row-group on demand
-        (the table is term-sorted; parquet row-group stats give the bisect)
-        instead of whole-file; at test scale a full load is 50k rows."""
+    def _termstats_reader(self):
+        """Reader over the build-published global stats table — written
+        atomically with every manifest (build/add/delete/merge), so a
+        driver-side lookup replaces the per-query df fan-out round and
+        every query needs ONE actor round trip."""
         if self._ts is None:
             path = os.path.join(self.index_dir, "termstats.parquet")
-            if os.path.exists(path):
-                import pyarrow.parquet as pq
-
-                t = pq.read_table(path)
-                self._ts = (
-                    t["term"].to_numpy(zero_copy_only=False),
-                    t["df"].to_numpy(zero_copy_only=False),
-                )
-            else:
-                self._ts = False
+            self._ts = TermStatsReader(path) if os.path.exists(path) else False
         return self._ts or None
 
     def _stats(self, q) -> dict:
@@ -225,13 +291,9 @@ class IndexSearcher:
         if hit is not None:
             return dict(hit)
         dfs: dict[str, int] = {}
-        ts = self._termstats_arrays() if terms else None
+        ts = self._termstats_reader() if terms else None
         if ts is not None:
-            tarr, darr = ts
-            pos = np.searchsorted(tarr, np.asarray(terms, dtype=object))
-            for t, p in zip(terms, pos.tolist()):
-                if p < tarr.size and tarr[p] == t:
-                    dfs[t] = int(darr[p])
+            dfs = ts.df_of(terms)
         elif terms:
             for part in ray.get([a.term_stats.remote(terms) for a in self.actors]):
                 for t, d in part.items():
@@ -528,10 +590,9 @@ class IndexSearcher:
         """Full (term → df) map, preferring the build-published stats table —
         a local file read instead of shipping every shard's vocabulary
         through the object store (the round-1 scale trap)."""
-        ts = self._termstats_arrays()
+        ts = self._termstats_reader()
         if ts is not None:
-            tarr, darr = ts
-            return {t: int(d) for t, d in zip(tarr.tolist(), darr.tolist())}
+            return ts.all_stats()
         import ray
 
         acc: dict[str, int] = {}

@@ -147,3 +147,33 @@ def test_add_documents_skips_tmp_segment_dirs(ray_session, tmp_path):
     add_documents(rd.from_arrow(pa.table({"__id__": ["a2"], "text": ["beta"]})), d, cfg)
     s = IndexSearcher(d, num_actors=1)
     assert s.count(MatchAllQ()) == 2
+
+
+def test_termstats_reader_rowgroup_bisect(tmp_path):
+    """The 10^12-vocabulary stats path: row-group bisect via parquet column
+    statistics must agree with the full-load path for present and absent
+    terms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meresco_lucene_ray.query.engine import TermStatsReader
+
+    terms = sorted(f"t{i:04d}" for i in range(0, 1000, 3))
+    dfs = [i + 1 for i in range(len(terms))]
+    path = str(tmp_path / "termstats.parquet")
+    pq.write_table(
+        pa.table({"term": terms, "df": pa.array(dfs, type=pa.int64()), "cf": dfs}),
+        path,
+        row_group_size=37,
+    )
+    full = TermStatsReader(path)
+    assert full.full is not None
+    lazy = TermStatsReader(path, max_full_load_rows=10)
+    assert lazy.full is None and len(lazy._rg_max) > 5
+    probe = [terms[0], terms[7], terms[-1], "t0001", "zzz", "aaa", terms[123]]
+    assert lazy.df_of(probe) == full.df_of(probe)
+    assert lazy.all_stats() == full.all_stats()
+    # cache bounded
+    lazy2 = TermStatsReader(path, max_full_load_rows=10, cache_groups=2)
+    lazy2.df_of(probe)
+    assert len(lazy2._rg_cache) <= 2
