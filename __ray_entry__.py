@@ -29,8 +29,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
-    ops — minhash/simhash/langid/fingerprint/lsh-ann)."""
+    """DuckDB-equivalent SQL per query.  40 of 42 entries are SQL-mirrored
+    (incl. the FNV-hash family, autocomplete and multiprobe LSH ANN via
+    HUGEINT/list_reduce SQL); only cluster_topdocs (DBSCAN+PageRank) and
+    media_features (binary decode) are rows-only — both golden-pinned in
+    tests/test_rows_only_goldens.py."""
     from meresco_lucene_ray.pipelines.entries import ORACLES
 
     return dict(ORACLES)

@@ -63,6 +63,82 @@ class LshBucketer:
         return batch.append_column("lsh_bucket", pa.array(self.signature(mat)))
 
 
+def kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Plain seeded Lloyd's k-means on a driver-side SAMPLE (the coarse
+    quantizer training step of an IVF index — training is O(sample), never
+    O(corpus)).  Returns (n_centroids, dim) float64 centroids."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(n_centroids, n)
+    centroids = sample[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+class IvfAssigner:
+    """map_batches stage: nearest-centroid id per vector (centroids broadcast
+    via ray.put — one object-store entry, read zero-copy per task)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2; argmin over c drops ||x||^2
+        scores = mat @ self.centroids.T - 0.5 * (self.centroids**2).sum(axis=1)[None, :]
+        return batch.append_column(
+            "ivf_cell", pa.array(scores.argmax(axis=1).astype(np.int64))
+        )
+
+
+def ivf_topk(
+    ds, query_vec, k=10, vec_col="embedding", id_col="vec_id",
+    n_centroids=16, n_probe=4, sample_size=2048, iters=10, seed=5,
+):
+    """IVF (inverted-file) approximate top-k — the k-means counterpart of
+    ``lsh_topk``: train a coarse quantizer on a driver-side sample, assign
+    every vector to its nearest centroid in one map_batches pass
+    (materialized once), then score ONLY the ``n_probe`` cells nearest the
+    query.  At 100 TB the assignment doubles as the partitioning key for
+    parquet layout, so probes prune at the read."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    sample = np.asarray(
+        [r[vec_col] for r in ds.take(sample_size)], dtype=np.float64
+    )
+    centroids = kmeans_fit(sample, n_centroids, iters, seed)
+    ref = ray.put(centroids)
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_args=(ref, vec_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    ).materialize()
+    qd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd, kind="stable")[: max(1, n_probe)].tolist())
+
+    def in_probe(batch: pa.Table) -> pa.Table:
+        mask = np.isin(
+            batch["ivf_cell"].to_numpy(zero_copy_only=False),
+            np.fromiter(probe, dtype=np.int64),
+        )
+        return batch.filter(pa.array(mask))
+
+    candidates = assigned.map_batches(in_probe, batch_format="pyarrow")
+    return brute_force_topk(candidates, q, k, vec_col, id_col)
+
+
 def lsh_topk(
     ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", n_planes=8, seed=11,
     min_candidates: int | None = None,

@@ -183,3 +183,32 @@ def test_multimodal_unsupported_raises():
     # fake video frames work on arbitrary bytes
     v = VideoFrameSampleStage(n_frames=3, fake=True)(bad)
     assert len(v["frames"][0].as_py()) == 3
+
+
+def test_ivf_topk(ray_session):
+    """IVF ANN: clustered vectors — the probed cells must contain the true
+    neighbours, so recall@k beats unpartitioned LSH on clustered data and the
+    result is deterministic."""
+    import numpy as np
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs, ids = [], []
+    for i in range(600):
+        c = centers[i % 6]
+        vecs.append((c + rng.standard_normal(16) * 0.3).tolist())
+        ids.append(i)
+    t = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()), "embedding": pa.array(vecs, type=pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow(t)
+    q = np.asarray(vecs[0])
+    got = ivf_topk(ds, q, k=10, n_centroids=8, n_probe=2)
+    exact = brute_force_topk(ds, q, k=10)
+    overlap = len(set(got["vec_id"].to_pylist()) & set(exact["vec_id"].to_pylist()))
+    assert overlap >= 8  # probing the query's cluster finds the true neighbours
+    again = ivf_topk(ds, q, k=10, n_centroids=8, n_probe=2)
+    assert got["vec_id"].to_pylist() == again["vec_id"].to_pylist()
