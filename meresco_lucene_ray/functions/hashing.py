@@ -134,6 +134,8 @@ def cached_stage(cls, *args):
     key = (cls, args)
     st = _STAGE_CACHE.get(key)
     if st is None:
+        if len(_STAGE_CACHE) >= 32:  # bound worker-process memory (FIFO)
+            _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
         st = _STAGE_CACHE[key] = cls(*args)
     return st
 

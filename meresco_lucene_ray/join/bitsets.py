@@ -107,26 +107,33 @@ def keys_of_dataset(ds, key_col: str, size: int) -> KeyBits:
 def semi_join_filter(ds, key_col: str, keybits: KeyBits):
     """KeyFilter over a Dataset: broadcast the bitset once (ray.put), apply a
     vectorized mask per batch.  ``inverted`` gives the exclude-filter
-    (MUST_NOT) semantics of MultiLucene.java:235-252."""
+    (MUST_NOT) semantics of MultiLucene.java:235-252.
+
+    TASK pool, not actors: the packed bitset is one object-store entry read
+    zero-copy per worker and unpacked once per process (cached_stage) — an
+    actor pool paid ~1s spin-up per pipeline execution for the same state."""
     import ray
+
+    from ..functions.hashing import cached_stage
 
     ref = ray.put(np.packbits(keybits.materialize()).tobytes())
     size = keybits.bits.size
 
-    class Filter:
-        def __init__(self):
+    class _Unpacked:
+        def __init__(self, ref_, size_):
             self.bits = np.unpackbits(
-                np.frombuffer(ray.get(ref), dtype=np.uint8), count=size
+                np.frombuffer(ray.get(ref_), dtype=np.uint8), count=size_
             ).astype(bool)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            ok = (keys >= 0) & (keys < size)
-            mask = np.zeros(len(batch), dtype=bool)
-            mask[ok] = self.bits[keys[ok]]
-            return batch.filter(pa.array(mask))
+    def filt(batch: pa.Table) -> pa.Table:
+        bits = cached_stage(_Unpacked, ref, size).bits
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (keys >= 0) & (keys < size)
+        mask = np.zeros(len(batch), dtype=bool)
+        mask[ok] = bits[keys[ok]]
+        return batch.filter(pa.array(mask))
 
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 def broadcast_lookup_join(ds, key_col: str, mapping: dict, out_col: str, default=None):
