@@ -180,7 +180,7 @@ def _band_hash_rows(batch: pa.Table, id_col: str, bands: int) -> pa.Table:
 
 def minhash_lsh_candidates(
     ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
-    num_parts: int = 64,
+    num_parts: int = 64, max_bucket: int | None = None,
 ):
     """shingle → minhash → band → bucket groupby → candidate duplicate groups.
 
@@ -189,7 +189,13 @@ def minhash_lsh_candidates(
     The bucket stage groups by a PARTITION of the (band, band_hash) space
     (``num_parts`` per band) and run-detects buckets vectorized inside each
     part — Python cost is O(num_parts), not O(buckets).  Raise ``num_parts``
-    when a part (≈ total_band_rows / (bands × num_parts)) outgrows a task."""
+    when a part (≈ total_band_rows / (bands × num_parts)) outgrows a task.
+
+    ``max_bucket`` is the SKEW guard: boilerplate text (license headers,
+    generated files) lands thousands of docs in one bucket and downstream
+    pair verification is quadratic in bucket size — buckets larger than the
+    cap are dropped (standard LSH practice; their members still surface
+    through their other, more selective bands).  None keeps every bucket."""
     sigged = ds.map_batches(
         minhash_stage,
         fn_kwargs=dict(text_col=text_col, num_perm=num_perm, shingle_n=shingle_n),
@@ -218,6 +224,8 @@ def minhash_lsh_candidates(
         gstart = np.flatnonzero(new)
         glen = np.diff(np.append(gstart, bd.size))
         keep = glen >= 2
+        if max_bucket is not None:
+            keep &= glen <= max_bucket
         if not keep.any():
             return pa.table(
                 {

@@ -149,3 +149,28 @@ def test_distributed_verify_matches_driver_side(ray_session):
     for (_, _, j1), (_, _, j2) in zip(old, new):
         assert abs(j1 - j2) < 1e-9
     assert (0, 1) in {(a, b) for a, b, _ in new}
+
+
+def test_minhash_max_bucket_skew_guard(ray_session):
+    """Boilerplate skew guard: buckets above max_bucket are dropped (their
+    members still pair through more selective bands when they differ)."""
+    import ray.data as rd
+
+    texts = ["exact same boilerplate license header text"] * 5 + [
+        "some unique content one",
+        "some unique content two",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    from meresco_lucene_ray.functions.dedup import minhash_lsh_candidates
+
+    full = minhash_lsh_candidates(rd.from_arrow(t), num_perm=16, bands=8, shingle_n=2).to_pandas()
+    assert any(len(g) == 5 for g in full["ids"])  # the boilerplate bucket
+    capped = minhash_lsh_candidates(
+        rd.from_arrow(t), num_perm=16, bands=8, shingle_n=2, max_bucket=3
+    ).to_pandas()
+    capped_ids = list(capped["ids"]) if len(capped) else []
+    assert all(len(g) <= 3 for g in capped_ids)
+    assert not any(len(g) == 5 for g in capped_ids)  # boilerplate bucket dropped
+    # sub-cap buckets survive untouched
+    small_full = [tuple(g) for g in full["ids"] if len(g) <= 3]
+    assert sorted(tuple(g) for g in capped_ids) == sorted(small_full)
