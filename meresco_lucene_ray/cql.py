@@ -253,16 +253,28 @@ def _text_q(value: str, boost: float):
     return PhraseQ(tuple(toks), boost=boost)  # phrase fallback (:170-183)
 
 
-def expression_to_query(e: QueryExpression, cfg: CqlConfig | None = None):
+def expression_to_query(e: QueryExpression, cfg: CqlConfig | None = None, composed=None):
     """Convert a ``QueryExpression`` tree into the engine query AST —
-    the queryexpressiontolucenequerydict conversion semantics."""
+    the queryexpressiontolucenequerydict conversion semantics.
+
+    ``composed`` (optional): a ComposedQuery-shaped context (``result_core``,
+    ``matches``/``key_col``).  With it, a field carrying another core's
+    prefix converts to a ``RelationalQ`` wrapping — the RelationalLuceneQuery
+    emission of queryexpressiontolucenequerydict.py:147-150 — which
+    MultiSearcher resolves to a key bitset at execute time, so core-prefixed
+    clauses work ANYWHERE in the boolean tree (beyond the extract-filters
+    AND-only path)."""
     cfg = cfg or CqlConfig()
     if e.operator == "OR":
-        parts = tuple(expression_to_query(o, cfg) for o in e.operands)
+        parts = tuple(expression_to_query(o, cfg, composed) for o in e.operands)
         return parts[0] if len(parts) == 1 else BoolQ(should=parts)
     if e.operator == "AND":
-        must = tuple(expression_to_query(o, cfg) for o in e.operands if not o.must_not)
-        must_not = tuple(expression_to_query(o, cfg) for o in e.operands if o.must_not)
+        must = tuple(
+            expression_to_query(o, cfg, composed) for o in e.operands if not o.must_not
+        )
+        must_not = tuple(
+            expression_to_query(o, cfg, composed) for o in e.operands if o.must_not
+        )
         if len(must) == 1 and not must_not:
             return must[0]
         return BoolQ(must=must, must_not=must_not)
@@ -273,6 +285,19 @@ def expression_to_query(e: QueryExpression, cfg: CqlConfig | None = None):
             )
             return subs[0] if len(subs) == 1 else BoolQ(should=subs, boost=1.0)
         return _text_q(e.term, e.boost)
+    if composed is not None and "." in e.index:
+        core, tail = e.index.split(".", 1)
+        other_cores = {c for pair in composed.matches for c in pair} - {composed.result_core}
+        if core in other_cores:
+            from .query.ast import RelationalQ
+
+            inner = _relation_q(cfg, tail, e.relation or "=", e.term, e.boost)
+            return RelationalQ(
+                core=core,
+                collect_key_col=composed.key_col(core, composed.result_core),
+                filter_key_col=composed.key_col(composed.result_core, core),
+                query=inner,
+            )
     return _relation_q(cfg, e.index, e.relation or "=", e.term, e.boost)
 
 

@@ -27,7 +27,7 @@ from typing import Any
 
 import numpy as np
 
-from ..query.ast import BoolQ, KeyFilterQ, MatchAllQ, PathPrefixQ
+from ..query.ast import BoolQ, KeyFilterQ, MatchAllQ, PathPrefixQ, RelationalQ
 from ..query.engine import IndexSearcher, SearchResult
 from .bitsets import KeyBits
 
@@ -77,6 +77,26 @@ class MultiSearcher:
         self.cores = cores
         self.key_space = key_space
 
+    def resolve_relational(self, q):
+        """Replace every embedded RelationalQ node (cross-core clause from the
+        CQL front end) with a KeyFilterQ over the other core's collected key
+        bitset — the WrappedRelationalQuery evaluation step, done BEFORE the
+        fan-out so the node composes inside any boolean nesting."""
+        if isinstance(q, RelationalQ):
+            bits = KeyBits(
+                self.cores[q.core].collect_keys(q.query, q.collect_key_col, self.key_space)
+            )
+            return KeyFilterQ(q.filter_key_col, bits.materialize())
+        if isinstance(q, BoolQ):
+            return BoolQ(
+                must=tuple(self.resolve_relational(s) for s in q.must),
+                should=tuple(self.resolve_relational(s) for s in q.should),
+                must_not=tuple(self.resolve_relational(s) for s in q.must_not),
+                filter=tuple(self.resolve_relational(s) for s in q.filter),
+                boost=q.boost,
+            )
+        return q
+
     def execute(self, cq: ComposedQuery) -> SearchResult:
         result_core = cq.result_core
         searcher = self.cores[result_core]
@@ -100,11 +120,12 @@ class MultiSearcher:
             or any(sc == c for sc, _, _ in sort_keys)
         ]
         if not active_others and not cq.unites and cq.relational_filter is None:
-            # single-core shortcut (MultiLucene.java:68-73)
-            base_q = cq.queries.get(result_core, MatchAllQ())
-            own_filters = list(cq.filter_queries.get(result_core, ())) + dd_filters.get(
-                result_core, []
-            )
+            # single-core shortcut (MultiLucene.java:68-73); embedded
+            # RelationalQ nodes still resolve against their cores
+            base_q = self.resolve_relational(cq.queries.get(result_core, MatchAllQ()))
+            own_filters = [
+                self.resolve_relational(f) for f in cq.filter_queries.get(result_core, ())
+            ] + dd_filters.get(result_core, [])
             if own_filters:
                 base_q = BoolQ(must=(base_q,), filter=tuple(own_filters))
             res = searcher.execute(
@@ -209,10 +230,10 @@ class MultiSearcher:
             rank_items.append((_rkey(core), arr.astype(np.float16).astype(np.float64)))
 
         # ---- stage 2: result-core query with broadcast masks
-        base_q = cq.queries.get(result_core, MatchAllQ())
-        own_filters = list(cq.filter_queries.get(result_core, ())) + dd_filters.get(
-            result_core, []
-        )
+        base_q = self.resolve_relational(cq.queries.get(result_core, MatchAllQ()))
+        own_filters = [
+            self.resolve_relational(f) for f in cq.filter_queries.get(result_core, ())
+        ] + dd_filters.get(result_core, [])
         all_filters = own_filters + filters
         final_q = (
             base_q

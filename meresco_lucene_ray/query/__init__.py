@@ -9,6 +9,7 @@ from .ast import (
     MatchAllQ,
     DocValEqQ,
     KeyFilterQ,
+    RelationalQ,
     Occur,
 )
 from .scorer import bm25_idf, bm25_tf_weight, BM25, TermFrequencySimilarity
@@ -25,6 +26,7 @@ __all__ = [
     "MatchAllQ",
     "DocValEqQ",
     "KeyFilterQ",
+    "RelationalQ",
     "Occur",
     "bm25_idf",
     "bm25_tf_weight",

@@ -128,6 +128,25 @@ class KeyFilterQ:
 
 
 @dataclass(frozen=True)
+class RelationalQ:
+    """Cross-core clause embedded in a query tree — the RelationalLuceneQuery
+    analog (/root/reference/meresco/lucene/queryexpressiontolucenequerydict.py:147-150):
+    run ``query`` on ``core``, collect its ``collect_key_col`` key set, and
+    filter the ENCLOSING core through ``filter_key_col`` (the result-side key
+    column of the match).  Not evaluable per-segment — MultiSearcher resolves
+    it to a KeyFilterQ bitset before fan-out, so it composes inside any
+    boolean nesting (the reference skips the boolean-composition case:
+    test 'testOtherCoreAndQuery' is @skip('not yet implemented')).
+    Non-scoring (FILTER semantics)."""
+
+    core: str
+    collect_key_col: str
+    filter_key_col: str
+    query: Any
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BoolQ:
     must: tuple = ()
     should: tuple = ()

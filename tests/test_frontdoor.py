@@ -307,3 +307,63 @@ def test_frontdoor_end_to_end(ray_session, tmp_path):
     expected = ms.execute(manual)
     assert res.ids() == expected.ids()
     assert set(res.ids()) == {"a1", "a2", "a6"}  # flag=true keys 2,3,7 (9 unmatched)
+
+
+def test_relational_wrapping_in_expression(ray_session, tmp_path):
+    """Core-prefixed field with a composed context converts to RelationalQ
+    (the RelationalLuceneQuery emission,
+    queryexpressiontolucenequerydict.py:147-150) — and, BEYOND the reference
+    (its boolean-composition test is @skip), composes inside OR when
+    MultiSearcher resolves it to a key bitset."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.index import IndexConfig, build_index
+    from meresco_lucene_ray.join import ComposedQuery, MultiSearcher
+    from meresco_lucene_ray.query import IndexSearcher, RelationalQ, TermQ
+
+    # conversion shape (mirrors testRelationalLuceneQuery)
+    cq = ComposedQuery(result_core="thisCore")
+    cq.matches = {("thisCore", "otherCore"): ("A", "B")}
+    q = expression_to_query(
+        cql_to_expression("otherCore.field=value"), CqlConfig(strict=False), composed=cq
+    )
+    assert q == RelationalQ(
+        core="otherCore", collect_key_col="B", filter_key_col="A",
+        query=__import__("meresco_lucene_ray.query.ast", fromlist=["DocValEqQ"]).DocValEqQ("field", "value"),
+    )
+
+    # end-to-end: 'w1 OR coreB.flag=true' — union of a text match and a
+    # cross-core key set
+    a = pa.table(
+        {
+            "__id__": [f"a{i}" for i in range(6)],
+            "text": ["w1 x", "zz", "zz", "w1 y", "zz", "zz"],
+            "key": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        }
+    )
+    b = pa.table(
+        {
+            "__id__": ["b0", "b1", "b2"],
+            "text": ["meta"] * 3,
+            "key": pa.array([2, 5, 9], type=pa.int64()),
+            "flag": ["true", "true", "false"],
+        }
+    )
+    da, db = str(tmp_path / "ra"), str(tmp_path / "rb")
+    build_index(rd.from_arrow(a), da, IndexConfig(text_col="text", id_col="__id__", stored_cols=("key",), num_shards=2))
+    build_index(rd.from_arrow(b), db, IndexConfig(text_col="text", id_col="__id__", stored_cols=("key", "flag"), num_shards=1))
+    ms = MultiSearcher(
+        {"coreA": IndexSearcher(da, num_actors=1, num_cpus=0.25),
+         "coreB": IndexSearcher(db, num_actors=1, num_cpus=0.25)},
+        16,
+    )
+    cq2 = ComposedQuery(result_core="coreA")
+    cq2.matches = {("coreA", "coreB"): ("key", "key")}
+    cfg = CqlConfig(text_col="text", keyword_cols=frozenset({"flag"}))
+    cq2.queries["coreA"] = expression_to_query(
+        cql_to_expression("w1 OR coreB.flag=true"), cfg, composed=cq2
+    )
+    res = ms.execute(cq2)
+    # w1 docs: a0, a3; flag=true keys {2,5} -> a1, a4
+    assert set(res.ids()) == {"a0", "a3", "a1", "a4"}
+    assert res.total == 4
