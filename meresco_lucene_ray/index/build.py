@@ -90,6 +90,29 @@ def _shard_of(ids: list[str], num_shards: int) -> np.ndarray:
     )
 
 
+def _sha256_column(col) -> pa.Array:
+    """Per-row sha256(content) hexdigest (the ingest invariant) hashing Arrow
+    buffer slices directly — no Python str materialization / re-encode of the
+    corpus (that cost a full extra pass + object churn per batch)."""
+    from ..functions.hashing import _string_view
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(col, "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+    offs, data = _string_view(col)
+    mv = memoryview(data) if data.size else memoryview(b"")
+    sha256 = hashlib.sha256
+    return pa.array(
+        [sha256(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(col))],
+        type=pa.string(),
+    )
+
+
 class TokenizeStage:
     """Stateless ``map_batches`` stage: normalize + tokenize + drop content.
 
@@ -98,9 +121,16 @@ class TokenizeStage:
       tfs (list<int32>), [positions flattened varint-ready], stored cols.
     """
 
-    def __init__(self, cfg: IndexConfig, shard_offset: int = 0, emit_dictionary: bool = False):
+    def __init__(
+        self,
+        cfg: IndexConfig,
+        shard_offset: int = 0,
+        emit_dictionary: bool = False,
+        skip_shard: bool = False,
+    ):
         self.cfg = cfg
         self.shard_offset = shard_offset
+        self.skip_shard = skip_shard
         # fused-path option: emit terms as list<dictionary<string>> so the
         # SegmentBuilder reuses the codes directly — no per-run string
         # materialization and no second dictionary_encode pass (cuts the
@@ -109,31 +139,84 @@ class TokenizeStage:
         self.emit_dictionary = emit_dictionary
         self._tokenizer = make_tokenizer(cfg.analyzer, cfg.ascii_folding, cfg.stem)
 
-    def _tokens_arrow(self, col: pa.ChunkedArray):
-        """Arrow-native tokenization for the frozen default spec: utf8_lower →
-        split on [^a-z0-9_]+ → drop empties — everything in C, zero Python
-        string objects (the object-array path saturates memory bandwidth at
-        high task concurrency).  Returns (codes int64, doc_idx, pos_in_doc,
-        dictionary StringArray, dl int32)."""
+    # chars whose Unicode LOWERCASE maps into [a-z0-9_] without being
+    # [A-Za-z0-9_] themselves: İ (U+0130 → "i" + U+0307) and K (U+212A → "k").
+    # Exhaustively verified over every Unicode codepoint by
+    # tests/test_tokenize_paths.py::test_split_first_equivalence_all_codepoints.
+    _UNSAFE_LOWER_RE = "[İK]"
+
+    def _tokens_arrow(self, col: pa.ChunkedArray, _force: str | None = None):
+        """Arrow-native tokenization for the frozen default spec
+        (tokens = regexp findall [a-z0-9_]+ over lower(text)) — everything in
+        C, zero Python string objects.  Returns (codes int64, doc_idx,
+        pos_in_doc, dictionary StringArray, dl int32).
+
+        Bandwidth diet (the 8→32 scaling bottleneck is one socket's memory
+        bandwidth, BASELINE.md): the default path splits the ORIGINAL text
+        case-insensitively and lowercases only the token DICTIONARY (tiny),
+        merging case-collided entries — the full-corpus lowered copy and the
+        empty-token filter rewrite of the values buffer never happen.  Only
+        İ/K (see _UNSAFE_LOWER_RE) break the reorder; batches containing
+        them fall back to the lower-first path."""
         import pyarrow.compute as pc
 
-        lower = pc.utf8_lower(col)
-        lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
-        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
-        # int32 throughout: token/doc counts per batch are far below 2^31 and
-        # halving the index-array width halves hot-loop memory traffic
-        offsets = lists.offsets.to_numpy(zero_copy_only=False)
-        values = lists.values
-        n_per_doc = np.diff(offsets)
-        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int32), n_per_doc)
-        # drop empty tokens (split artifacts at separators/boundaries)
-        nonempty = pc.not_equal(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
-        keep = np.flatnonzero(nonempty)
-        enc = pc.dictionary_encode(values.filter(pa.array(nonempty)))
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)  # int32 from arrow
-        doc_idx = doc_idx[keep]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        if _force is not None:  # test hook: pin a path to verify equivalence
+            safe = _force == "safe"
+        else:
+            safe = bool(pc.all(pc.string_is_ascii(col), min_count=0).as_py())
+            if not safe:
+                safe = not bool(
+                    pc.any(
+                        pc.match_substring_regex(col, self._UNSAFE_LOWER_RE), min_count=0
+                    ).as_py()
+                )
+        if safe:
+            lists = pc.split_pattern_regex(col, pattern="[^a-zA-Z0-9_]+")
+            lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+            offsets = lists.offsets.to_numpy(zero_copy_only=False)
+            values = lists.values
+            enc0 = pc.dictionary_encode(values)
+            if isinstance(enc0, pa.ChunkedArray):
+                enc0 = enc0.combine_chunks()
+            # lower + merge case collisions in DICTIONARY space (small)
+            enc1 = pc.dictionary_encode(pc.utf8_lower(enc0.dictionary))
+            remap = enc1.indices.to_numpy(zero_copy_only=False)
+            codes = remap[enc0.indices.to_numpy(zero_copy_only=False)]
+            dictionary = enc1.dictionary
+            # int32 throughout: token/doc counts per batch are far below 2^31
+            # and halving the index-array width halves hot-loop memory traffic
+            n_per_doc = np.diff(offsets)
+            doc_idx = np.repeat(np.arange(len(lists), dtype=np.int32), n_per_doc)
+            # drop empty tokens (split artifacts at separators/boundaries):
+            # one int32 compare on CODES, not a values-buffer rewrite
+            dlens = pc.binary_length(dictionary).to_numpy(zero_copy_only=False)
+            empty = np.flatnonzero(dlens == 0)
+            if empty.size:
+                e = np.int32(empty[0])
+                keepmask = codes != e
+                codes = codes[keepmask]
+                doc_idx = doc_idx[keepmask]
+                codes = np.where(codes > e, codes - 1, codes)
+                dictionary = dictionary.filter(pa.array(dlens != 0))
+        else:
+            lower = pc.utf8_lower(col)
+            lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
+            lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+            offsets = lists.offsets.to_numpy(zero_copy_only=False)
+            values = lists.values
+            n_per_doc = np.diff(offsets)
+            doc_idx = np.repeat(np.arange(len(lists), dtype=np.int32), n_per_doc)
+            nonempty = pc.not_equal(pc.binary_length(values), 0).to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(values.filter(pa.array(nonempty)))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)  # int32 from arrow
+            doc_idx = doc_idx[nonempty]
+            dictionary = enc.dictionary
         # kept tokens stay doc-contiguous and ordered → position within doc =
         # global rank − doc's first rank
         dl64 = np.bincount(doc_idx, minlength=len(lists))
@@ -141,15 +224,27 @@ class TokenizeStage:
         pos_in_doc = (
             np.arange(doc_idx.size, dtype=np.int64) - doc_starts[doc_idx]
         ).astype(np.int32)
-        return codes, doc_idx, pos_in_doc, enc.dictionary, dl64.astype(np.int32)
+        return codes, doc_idx, pos_in_doc, dictionary, dl64.astype(np.int32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cfg = self.cfg
+        # __id__ built in Arrow (C string join), no Python string objects
         if cfg.id_col:
-            ids = [str(x) for x in batch[cfg.id_col].to_pylist()]
+            ids_arr = batch[cfg.id_col]
+            if not pa.types.is_string(ids_arr.type):
+                ids_arr = pc.cast(ids_arr, pa.string())
         else:
-            parts = [batch[c].to_pylist() for c in cfg.id_from]
-            ids = [":".join(str(v) for v in row) for row in zip(*parts)]
+            parts = [
+                batch[c] if pa.types.is_string(batch[c].type) else pc.cast(batch[c], pa.string())
+                for c in cfg.id_from
+            ]
+            ids_arr = pc.binary_join_element_wise(*parts, ":")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        if ids_arr.null_count:
+            ids_arr = pc.fill_null(ids_arr, "None")  # str(None) parity
         ndocs = len(batch)
 
         if cfg.analyzer == "standard" and not cfg.ascii_folding and cfg.stem is None:
@@ -223,9 +318,18 @@ class TokenizeStage:
         terms_col = pa.ListArray.from_arrays(pa.array(outer_off), term_values)
         tfs_col = pa.ListArray.from_arrays(pa.array(outer_off), pa.array(run_tf))
 
+        if self.skip_shard:
+            # fused zero-shuffle layout: the caller overwrites the shard
+            # column with the file-unit id — skip the per-id crc32 loop
+            shard_arr = pa.array(np.zeros(ndocs, dtype=np.int32))
+        else:
+            ids_py = ids_arr.to_pylist()
+            shard_arr = pa.array(
+                _shard_of(ids_py, cfg.num_shards) + np.int32(self.shard_offset)
+            )
         cols: dict[str, Any] = {
-            "__id__": pa.array(ids, type=pa.string()),
-            "shard": pa.array(_shard_of(ids, cfg.num_shards) + np.int32(self.shard_offset)),
+            "__id__": ids_arr,
+            "shard": shard_arr,
             "dl": pa.array(dl),
             "terms": terms_col,
             "tfs": tfs_col,
@@ -236,13 +340,7 @@ class TokenizeStage:
             )
             cols["positions"] = pa.ListArray.from_arrays(pa.array(outer_off), inner)
         if cfg.hash_content:
-            cols["content_sha256"] = pa.array(
-                [
-                    hashlib.sha256((t or "").encode()).hexdigest()
-                    for t in batch[cfg.text_col].to_pylist()
-                ],
-                type=pa.string(),
-            )
+            cols["content_sha256"] = _sha256_column(batch[cfg.text_col])
         for c in cfg.stored_cols:
             cols[c] = batch[c]
         return pa.table(cols)
@@ -271,15 +369,20 @@ class SegmentBuilder:
             return t.append_column("shard", pa.array(np.full(len(t), shard, dtype=np.int32)))
 
         # ---- upsert dedup: last-write-wins per __id__ (dedup by sorted order,
-        # keep the lexicographically-last row id occurrence deterministically)
-        ids = np.asarray(group["__id__"].to_pylist(), dtype=object)
-        order = np.argsort(ids, kind="stable")
+        # keep the lexicographically-last row id occurrence deterministically).
+        # Arrow stable sort + adjacent-compare — no Python string objects.
+        import pyarrow.compute as pc_
+
+        ids_arr = group["__id__"].combine_chunks()
+        order = pc_.sort_indices(ids_arr).to_numpy(zero_copy_only=False).astype(np.int64)
         # keep LAST occurrence per id in input order among equal ids:
-        # stable argsort keeps input order within equal keys → take the last of each run
-        sorted_ids = ids[order]
+        # Arrow sort is stable → take the last of each equal-key run
+        sorted_ids = ids_arr.take(pa.array(order))
         is_last = np.ones(len(sorted_ids), dtype=bool)
         if len(sorted_ids) > 1:
-            is_last[:-1] = sorted_ids[:-1] != sorted_ids[1:]
+            is_last[:-1] = pc_.not_equal(
+                sorted_ids.slice(0, len(sorted_ids) - 1), sorted_ids.slice(1)
+            ).to_numpy(zero_copy_only=False)
         keep = order[is_last]  # sorted unique ids, local docid = 0..n-1 in id order
         n = keep.size
         docids_global = (np.uint64(shard) << np.uint64(SHARD_BITS)) | np.arange(n, dtype=np.uint64)
@@ -602,8 +705,9 @@ class FileSegmentBuilder:
     def __init__(self, index_dir: str, cfg: IndexConfig):
         self.index_dir = index_dir
         self.cfg = cfg
-        # fused in-task handoff: dictionary-encoded terms, no re-encode
-        self._tokenize = TokenizeStage(cfg, emit_dictionary=True)
+        # fused in-task handoff: dictionary-encoded terms, no re-encode; the
+        # shard column is overwritten with the unit id → skip per-id crc32
+        self._tokenize = TokenizeStage(cfg, emit_dictionary=True, skip_shard=True)
         self._builder = SegmentBuilder(index_dir, cfg)
 
     def __call__(self, batch) -> pa.Table:
@@ -617,13 +721,15 @@ class FileSegmentBuilder:
             batch["shard"],
         ):
             f = pq.ParquetFile(path)
-            table = f.read_row_groups(list(range(int(rg_start), int(rg_end))))
-            if int(row_start) >= 0:
-                table = table.slice(int(row_start), int(row_len))
             cols = [self.cfg.text_col, *self.cfg.id_from, *self.cfg.stored_cols]
             if self.cfg.id_col:
                 cols.append(self.cfg.id_col)
-            table = table.select([c for c in dict.fromkeys(cols)])
+            # prune at the read: only the needed columns leave storage
+            table = f.read_row_groups(
+                list(range(int(rg_start), int(rg_end))), columns=list(dict.fromkeys(cols))
+            )
+            if int(row_start) >= 0:
+                table = table.slice(int(row_start), int(row_len))
             tokenized = self._tokenize(table)
             shard_col = np.full(len(tokenized), int(shard), dtype=np.int32)
             tokenized = tokenized.set_column(
