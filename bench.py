@@ -116,15 +116,18 @@ def run_bench() -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
     build_index(corpus_dir, warm_dir, cfg, target_docs_per_segment=target)
 
-    # best-of-2 timed builds: this sandbox is a VM with visible steal-time
-    # spikes; the faster run is the truer measure of the pipeline
-    build_sec = float("inf")
-    for rep in range(2):
+    # best-of-3 timed builds with the per-run spread reported: this sandbox
+    # is a VM with multi-minute steal bursts (BASELINE.md documents 7× swings
+    # on identical builds); best-of-2 let one burst sink a whole round's
+    # number (round-2 driver snapshot: 14.3k files/s vs 53.7k warm-best)
+    build_runs = []
+    for rep in range(int(os.environ.get("MLR_BENCH_BUILD_REPS", "3"))):
         idx_dir = f"/tmp/mlr_bench/index_{n_docs}_{NUM_CPUS}"
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         manifest = build_index(corpus_dir, idx_dir, cfg, target_docs_per_segment=target)
-        build_sec = min(build_sec, time.time() - t0)
+        build_runs.append(round(time.time() - t0, 3))
+    build_sec = min(build_runs)
     files_per_sec = n_docs / build_sec
 
     # actor pool sized to the CPU budget (a real cluster scales searcher
@@ -156,16 +159,15 @@ def run_bench() -> dict:
 
     rounds = 4
     clients = NUM_CPUS
-    qps = 0.0
-    query_sec = 0.0
+    qps_runs = []
     for _ in range(2):
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=clients) as ex:
             list(ex.map(run_one, [q for _ in range(rounds) for q in asts]))
         sec = time.time() - t0
-        if rounds * len(asts) / sec > qps:
-            qps = rounds * len(asts) / sec
-            query_sec = sec
+        qps_runs.append(round(rounds * len(asts) / sec, 1))
+    qps = max(qps_runs)
+    query_sec = rounds * len(asts) / qps
 
     # entry pipelines over the sf tables (a subset that exercises shuffle,
     # broadcast join, dedup and ANN paths)
@@ -190,12 +192,14 @@ def run_bench() -> dict:
             "n_docs": n_docs,
             "sec": round(build_sec, 3),
             "files_per_sec": round(files_per_sec, 1),
+            "runs_sec": build_runs,  # per-run spread → steal-noise evidence
             "num_segments": len(manifest.segments),
             "num_terms": manifest.metrics.get("num_terms_global"),
         },
         "query": {
             "n_queries": rounds * len(asts),
             "qps": round(qps, 1),
+            "qps_runs": qps_runs,
             "p50_ms": round(p50_ms, 2),
             "p90_ms": round(p90_ms, 2),
         },
@@ -236,8 +240,17 @@ def run_scaling() -> None:
     def best(runs):
         return {
             "value": min(r["value"] for r in runs),
-            "build": {"files_per_sec": max(r["build"]["files_per_sec"] for r in runs)},
-            "query": {"qps": max(r["query"]["qps"] for r in runs)},
+            "build": {
+                "files_per_sec": max(r["build"]["files_per_sec"] for r in runs),
+                # per-run spread (each entry is already a best-of-N build):
+                # wide spread = host steal during that leg, see BASELINE.md
+                "spread": [r["build"]["files_per_sec"] for r in runs],
+                "runs_sec": [s for r in runs for s in r["build"].get("runs_sec", [])],
+            },
+            "query": {
+                "qps": max(r["query"]["qps"] for r in runs),
+                "spread": [r["query"]["qps"] for r in runs],
+            },
         }
 
     lo, hi = best(lo_runs), best(hi_runs)
@@ -259,8 +272,14 @@ def run_scaling() -> None:
                 "sec_hi": hi["value"],
                 "build_files_per_sec_lo": tp_lo,
                 "build_files_per_sec_hi": tp_hi,
+                "build_spread_lo": lo["build"]["spread"],
+                "build_spread_hi": hi["build"]["spread"],
+                "build_runs_sec_lo": lo["build"]["runs_sec"],
+                "build_runs_sec_hi": hi["build"]["runs_sec"],
                 "qps_lo": lo["query"]["qps"],
                 "qps_hi": hi["query"]["qps"],
+                "qps_spread_lo": lo["query"]["spread"],
+                "qps_spread_hi": hi["query"]["spread"],
                 "scaling_efficiency_build": round(eff_build, 3),
                 "scaling_efficiency_query": round(eff_query, 3),
                 "scaling_efficiency_total": round(eff_total, 3),

@@ -332,16 +332,11 @@ def _levenshtein(a: str, b: str) -> int:
 
 def q_spell_suggest(sf_dir: str) -> pa.Table:
     """DirectSpellChecker analog (Lucene.java:804-816): terms within edit
-    distance ≤ 2 of the (misspelled) query term, most-frequent first."""
-    stats = get_searcher(sf_dir).all_term_stats()
-    cand = [
-        (t, df, _levenshtein(t, "mrge"))
-        for t, df in stats.items()
-        if abs(len(t) - 4) <= 2
-    ]
-    cand = [(t, df, d) for t, df, d in cand if d <= 2]
-    cand.sort(key=lambda x: (-x[1], x[0]))
-    cand = cand[:10]
+    distance ≤ 2 of the (misspelled) query term sharing its first character
+    (minPrefix=1, the DirectSpellChecker default), most-frequent first.
+    The scan reads only the first-char bucket of the term-sorted stats table
+    (spell_suggest_bucketed) — never the whole vocabulary."""
+    cand = get_searcher(sf_dir).spell_suggest("mrge", count=10)
     return pa.table(
         {
             "term": pa.array([c[0] for c in cand], type=pa.string()),
@@ -1244,7 +1239,8 @@ GROUP BY term ORDER BY df DESC, term LIMIT 10
 terms AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM terms GROUP BY term)
 SELECT term, df, levenshtein(term, 'mrge')::BIGINT AS dist FROM dfs
-WHERE levenshtein(term, 'mrge') <= 2
+WHERE substr(term, 1, 1) = 'm' AND term <> 'mrge'
+  AND levenshtein(term, 'mrge') <= 2
 ORDER BY df DESC, term LIMIT 10
 """,
     "mlt_doc0": f"""{SQL_PROLOGUE},

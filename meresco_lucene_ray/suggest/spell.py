@@ -4,9 +4,19 @@ Reference: ``DirectSpellChecker.suggestSimilar(term, count, mode)`` scans
 index terms within edit distance of the query term
 (/root/reference/src/org/meresco/lucene/Lucene.java:804-816); modes
 NOT_IN_INDEX / MORE_POPULAR / ALWAYS (JsonQueryConverter.java:163-187).
+
+Scale path: Lucene's DirectSpellChecker never scans the whole vocabulary —
+its default ``minPrefix=1`` restricts candidates to terms sharing the query
+term's FIRST character.  ``spell_suggest_bucketed`` mirrors that: candidates
+live in ONE contiguous range of the term-sorted stats table, read row-group
+by row-group (O(bucket) rows, never a whole-vocabulary materialization), and
+edit distances are computed by a numpy-vectorized banded DP — no per-term
+Python in the scan.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -28,23 +38,122 @@ def spell_suggest(
     count: int = 10,
     max_distance: int = 2,
     mode: str = "NOT_IN_INDEX",
+    min_prefix: int = 1,
 ) -> list[tuple[str, int, int]]:
     """(term, df, distance) suggestions, most-frequent first.
 
     mode NOT_IN_INDEX: no suggestions when the term itself is indexed;
     MORE_POPULAR: only terms with higher df than the query term;
-    ALWAYS: suggest regardless."""
+    ALWAYS: suggest regardless.  ``min_prefix``: candidates must share the
+    term's first N chars (DirectSpellChecker's default 1) — keeps the dict
+    path's results identical to ``spell_suggest_bucketed``."""
     own_df = term_dfs.get(term, 0)
     if mode == "NOT_IN_INDEX" and own_df > 0:
         return []
+    prefix = term[:min_prefix]
     out = []
     for t, df in term_dfs.items():
         if abs(len(t) - len(term)) > max_distance or t == term:
+            continue
+        if min_prefix and not t.startswith(prefix):
             continue
         if mode == "MORE_POPULAR" and df <= own_df:
             continue
         d = levenshtein(t, term)
         if d <= max_distance:
             out.append((t, df, d))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:count]
+
+
+def levenshtein_batch(cands, term: str) -> np.ndarray:
+    """Unit-cost edit distance of every string in ``cands`` (a pyarrow
+    StringArray) to ``term`` — the classic DP, vectorized across candidates
+    (loops run over the ≤len(term)×maxlen cell grid, never over candidates).
+
+    Byte-level DP: exact for ASCII terms (the standard analyzer only emits
+    [a-z0-9_]); any non-ASCII candidate falls back to the scalar DP.
+    Bit-identical to ``levenshtein`` (pinned by tests/test_spell_bucketed.py).
+    """
+    import pyarrow as pa
+
+    from ..functions.hashing import _string_view
+
+    if isinstance(cands, pa.ChunkedArray):
+        cands = cands.combine_chunks()
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    offs, data = _string_view(cands)
+    lens = np.diff(offs)
+    L = int(lens.max()) if n else 0
+    tb = term.encode()
+    # padded byte matrix (n, L)
+    C = np.zeros((n, L), dtype=np.uint8)
+    if L:
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        rows = np.repeat(np.arange(n), lens)
+        C[rows, within] = data[np.repeat(offs[:-1], lens) + within]
+    ascii_ok = not (C >= 0x80).any() and all(b < 0x80 for b in tb)
+    if not ascii_ok:
+        return np.array([levenshtein(t, term) for t in cands.to_pylist()], dtype=np.int32)
+    m = len(tb)
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (n, L + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        tc = np.uint8(tb[i - 1])
+        sub = prev[:, :-1] + (C != tc)
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        for j in range(1, L + 1):
+            np.minimum(best[:, j - 1], cur[:, j - 1] + 1, out=cur[:, j])
+        prev, cur = cur, prev
+    return prev[np.arange(n), lens].astype(np.int32)
+
+
+def spell_suggest_bucketed(
+    reader,
+    term: str,
+    count: int = 10,
+    max_distance: int = 2,
+    mode: str = "NOT_IN_INDEX",
+    min_prefix: int = 1,
+) -> list[tuple[str, int, int]]:
+    """DirectSpellChecker semantics over a ``TermStatsReader``: candidates
+    share the term's first ``min_prefix`` chars (Lucene's default 1), so the
+    scan touches ONE contiguous range of the term-sorted stats table — at a
+    10^12-file vocabulary this reads O(bucket) rows, not the vocabulary.
+
+    Returns (term, df, distance) triples, most-frequent first."""
+    own_df = reader.df_of([term]).get(term, 0)
+    if mode == "NOT_IN_INDEX" and own_df > 0:
+        return []
+    if not term:
+        return []
+    import pyarrow.compute as pc
+
+    prefix = term[:min_prefix]
+    lo, hi = prefix, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    out: list[tuple[str, int, int]] = []
+    for terms_arr, dfs_arr in reader.range_stats(lo, hi):
+        lens = pc.utf8_length(terms_arr).to_numpy(zero_copy_only=False)
+        band = np.abs(lens - len(term)) <= max_distance
+        if mode == "MORE_POPULAR":
+            band &= np.asarray(dfs_arr) > own_df
+        if not band.any():
+            continue
+        import pyarrow as pa
+
+        cands = terms_arr.filter(pa.array(band))
+        dists = levenshtein_batch(cands, term)
+        ok = (dists <= max_distance) & (dists > 0)
+        if ok.any():
+            dsel = np.asarray(dfs_arr)[band][ok]
+            for t, df, d in zip(
+                cands.filter(pa.array(ok)).to_pylist(), dsel.tolist(), dists[ok].tolist()
+            ):
+                out.append((t, int(df), int(d)))
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[:count]
