@@ -1,15 +1,19 @@
 """Composed-query front door: SRU-style arguments + CQL strings → ComposedQuery.
 
-Re-expresses (NOT ports) the two reference modules every deployment routes
-queries through:
+Covers the two reference modules every deployment routes queries through:
 
-- M9  ``ExtractFilterQueries``
-  (/root/reference/meresco/lucene/extractfilterqueries.py:32-84): split a
+- M9  ``ExtractFilterQueries`` — PORTED (near line-for-line, snake_cased)
+  from /root/reference/meresco/lucene/extractfilterqueries.py:28-84: split a
   CQL AND-tree into the result-core query plus per-core filter expressions —
   a top-level AND operand whose fields all carry ONE other core's prefix
   becomes that core's filter (prefix stripped); mixed-core operands raise
-  ``TooComplexQueryExpression``.
-- M10 ``ConvertToComposedQuery``
+  ``TooComplexQueryExpression``.  The control flow (and the "Multiple core
+  query detected" message) is deliberately kept identical to the reference:
+  this class IS the compatibility contract its tests pin, and any
+  restructuring risks silent divergence on the 33 mirrored cases in
+  tests/test_frontdoor.py.
+- M10 ``ConvertToComposedQuery`` — re-expressed (materially restructured;
+  the argument protocol is necessarily shared)
   (/root/reference/meresco/lucene/converttocomposedquery.py:44-160): the
   SRU-argument planner — x-filter / filterQueries / excludeFilterQueries /
   x-rank-query / x-filter-common-keys (dedup) / x-clustering / facets /
@@ -161,11 +165,16 @@ class ConvertToComposedQuery:
         sort_keys=None,
         start: int = 0,
         stop: int = 10,
+        suggestion_request: dict | None = None,
     ) -> ComposedQuery:
         extra = extra_arguments or {}
         rf = self._results_from
         expr = cql_to_expression(query or "*") if isinstance(query, (str, type(None))) else query
-        cq = ComposedQuery(result_core=rf, start=start, stop=stop)
+        # start/stop/suggestionRequest pass straight through
+        # (converttocomposedquery.py:69-72)
+        cq = ComposedQuery(
+            result_core=rf, start=start, stop=stop, suggestion_request=suggestion_request
+        )
         cq.matches = dict(self._matches)
 
         core_query, filters = self._extract.convert(expr, rf)

@@ -461,12 +461,29 @@ def verify_neardup_pairs(
             sa = sa.combine_chunks()
         if isinstance(sb, pa.ChunkedArray):
             sb = sb.combine_chunks()
-        jac = np.empty(len(t), dtype=np.float64)
-        for i in range(len(t)):
-            A = np.frombuffer(sa[i].as_py(), dtype="<u8")
-            B = np.frombuffer(sb[i].as_py(), dtype="<u8")
-            inter = np.intersect1d(A, B, assume_unique=True).size
-            jac[i] = inter / max(1, A.size + B.size - inter)
+        # vectorized pairwise set-intersection over the blob payloads: each
+        # row's hashes are UNIQUE within the row (set semantics from
+        # _ShingleSetStage), so |A∩B| = count of duplicate values inside one
+        # pair after a global (pair_id, value) lexsort — no per-pair Python
+        from .hashing import _string_view
+
+        n_pairs = len(t)
+        oa, da = _string_view(sa)
+        ob, db = _string_view(sb)
+        va = da[oa[0] : oa[-1]].view("<u8")
+        vb = db[ob[0] : ob[-1]].view("<u8")
+        na = (np.diff(oa) // 8).astype(np.int64)
+        nb = (np.diff(ob) // 8).astype(np.int64)
+        vals = np.concatenate([va, vb])
+        pids = np.concatenate(
+            [np.repeat(np.arange(n_pairs), na), np.repeat(np.arange(n_pairs), nb)]
+        )
+        order = np.lexsort((vals, pids))
+        sv, sp = vals[order], pids[order]
+        dup = np.zeros(sv.size, dtype=bool)
+        dup[1:] = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+        inter = np.bincount(sp[dup], minlength=n_pairs).astype(np.int64)
+        jac = inter / np.maximum(1, na + nb - inter)
         keep = jac >= threshold
         idx = pa.array(np.flatnonzero(keep))
         return pa.table(

@@ -26,8 +26,12 @@ _M = np.uint64(MERSENNE61)
 
 
 def _string_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(byte starts int64, lengths int64) + flat uint8 data for a StringArray."""
-    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    """(byte offsets int64, flat uint8 data) for a (large_)string/binary array."""
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
     offs = offs.astype(np.int64)

@@ -7,9 +7,9 @@ explicit DAG over per-core ``IndexSearcher``s:
   stage 1  fan-out: collect key bitsets per other core (its query AND its
            filter queries — MultiLucene.java:195-233), plus unite bitsets
            (J4, :207-217) and exclude bitsets (J8, :235-252); rank queries
-           produce per-key max-score arrays (J5) quantized to 16 bits (our
-           float16 stands in for the reference's float1120 encoding,
-           Utils.java:138-159 — same width, not bit-identical).
+           produce per-key max-score arrays (J5) quantized to 16 bits by the
+           exact float1120 encoding (Utils.java:138-159 — bit-identical
+           round-trip, see join/smallfloat.py).
   stage 2  result-core query with the broadcast bitsets applied as
            non-scoring KeyFilter clauses and the rank arrays blended into
            scores: (1−r)·own + r·∏(1+other(key)).
@@ -30,6 +30,7 @@ import numpy as np
 from ..query.ast import BoolQ, KeyFilterQ, MatchAllQ, PathPrefixQ, RelationalQ
 from ..query.engine import IndexSearcher, SearchResult
 from .bitsets import KeyBits
+from .smallfloat import quantize_scores_1120
 
 
 @dataclass
@@ -60,6 +61,10 @@ class ComposedQuery:
     start: int = 0
     stop: int = 10
     export_keys: bool = False
+    # {suggests: [word...], count: int, field: str, mode: str} — passed
+    # through to the result core's executeQuery and answered from ITS term
+    # dictionary (composedquery.py:65, Lucene.java:334-342)
+    suggestion_request: dict | None = None
 
     def key_col(self, core_x: str, core_y: str) -> str:
         for (a, b), (ka, kb) in self.matches.items():
@@ -136,6 +141,7 @@ class MultiSearcher:
                 sort=[(f, d, None) for _, f, d in sort_keys] or None,
                 dedup_field=cq.dedup_field,
                 dedup_sort_field=cq.dedup_sort_field,
+                suggestion_request=cq.suggestion_request,
             )
             _shape_facets(res, result_core, result_core, cq.facets.get(result_core, ()))
             return res
@@ -226,8 +232,8 @@ class MultiSearcher:
             if core == result_core:
                 continue
             arr = self.cores[core].key_max_scores(rq, cq.key_col(core, result_core), self.key_space)
-            # 16-bit score quantization (float1120 stand-in, Utils.java:138-159)
-            rank_items.append((_rkey(core), arr.astype(np.float16).astype(np.float64)))
+            # exact 16-bit float1120 quantization (Utils.java:138-159)
+            rank_items.append((_rkey(core), quantize_scores_1120(arr)))
 
         # ---- stage 2: result-core query with broadcast masks
         base_q = self.resolve_relational(cq.queries.get(result_core, MatchAllQ()))
@@ -266,6 +272,7 @@ class MultiSearcher:
             sort=sort or None,
             dedup_field=cq.dedup_field,
             dedup_sort_field=cq.dedup_sort_field,
+            suggestion_request=cq.suggestion_request,
         )
         _shape_facets(res, result_core, result_core, cq.facets.get(result_core, ()))
 

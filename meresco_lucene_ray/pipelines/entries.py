@@ -23,6 +23,7 @@ from typing import Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..analysis import SQL_TOKENIZE
 from ..index import IndexConfig, build_index
@@ -553,18 +554,17 @@ def q_join_sort(sf_dir: str) -> pa.Table:
     )
     joined = broadcast_lookup_join(orders, "o_custkey", mapping, "c_name", default="")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    def _top20(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("c_name", "ascending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx.slice(0, 20))
 
-        df = batch.select(["o_orderkey", "c_name"]).to_pandas()
-        df = df.sort_values(["c_name", "o_orderkey"]).head(20)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def partial(batch: pa.Table) -> pa.Table:
+        return _top20(batch.select(["o_orderkey", "c_name"]))
 
     parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
-    import pandas as pd
-
-    df = pd.DataFrame(parts).sort_values(["c_name", "o_orderkey"]).head(20)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return _top20(pa.Table.from_pylist(parts))
 
 
 # --------------------------------------------------------------------------
@@ -848,17 +848,23 @@ def q_events_window(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
-        win = ts_us // 3_600_000_000  # hours since epoch
+        # Arrow-native partial aggregate — no pandas copy of the batch
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.divide(ts_us, pa.scalar(3_600_000_000, type=pa.int64()))
         g = (
-            df.assign(window=win)
-            .groupby(["event_type", "window"], as_index=False)
-            .agg(cnt=("event_id", "size"), val=("value", "sum"))
+            batch.select(["event_type", "value"])
+            .append_column("window", win)
+            .group_by(["event_type", "window"])
+            .aggregate([("value", "sum"), ([], "count_all")])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window": g["window"],
+                "cnt": g["count_all"],
+                "val": g["value_sum"],
+            }
+        )
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),

@@ -235,9 +235,24 @@ class SearchResult:
     hits: pa.Table  # docid, __id__, score, requested stored cols (+dedup extras)
     drilldown_data: dict[str, dict[Any, int]] = field(default_factory=dict)
     total_with_duplicates: int | None = None
+    # word -> [(suggestion, df, distance)] when the query carried a
+    # suggestionRequest (Lucene.java:334-342)
+    suggestions: dict[str, list] | None = None
 
     def ids(self) -> list[str]:
         return self.hits["__id__"].to_pylist()
+
+
+def _suggest_mode(mode: str | None) -> str:
+    """JsonQueryConverter.suggestModeFromString (:177-187): unknown/absent
+    defaults to SUGGEST_WHEN_NOT_IN_INDEX; accepts both the wire strings and
+    the engine's short names."""
+    m = (mode or "").upper()
+    if m in ("SUGGEST_MORE_POPULAR", "MORE_POPULAR"):
+        return "MORE_POPULAR"
+    if m in ("SUGGEST_ALWAYS", "ALWAYS"):
+        return "ALWAYS"
+    return "NOT_IN_INDEX"
 
 
 class IndexSearcher:
@@ -347,11 +362,14 @@ class IndexSearcher:
         dedup_sort_field: str | None = None,
         rank_adjust: dict | None = None,
         join_cols: dict | None = None,
+        suggestion_request: dict | None = None,
     ) -> SearchResult:
         """Single-core executeQuery (Lucene.java:253-342): top-k + facets +
         dedup; ``rank_adjust`` blends other-core key scores (J5),
         ``join_cols`` maps {name: (key_col, values_by_key, missing)} for
-        cross-core join sort (J6)."""
+        cross-core join sort (J6); ``suggestion_request``
+        {suggests, count, mode} attaches spell suggestions to the response
+        (Lucene.java:334-342, JsonQueryConverter.SuggestionRequest)."""
         import ray
 
         stats = self._stats(q)
@@ -401,11 +419,20 @@ class IndexSearcher:
                 drilldown[colname] = dict(
                     sorted(agg.items(), key=lambda kv: (-kv[1], str(kv[0])))
                 )
+        suggestions = None
+        if suggestion_request:
+            mode = _suggest_mode(suggestion_request.get("mode"))
+            cnt = int(suggestion_request.get("count", 10))
+            suggestions = {
+                w: self.spell_suggest(w, count=cnt, mode=mode)
+                for w in suggestion_request.get("suggests", ())
+            }
         return SearchResult(
             total=total,
             hits=page,
             drilldown_data=drilldown,
             total_with_duplicates=total_with_dups,
+            suggestions=suggestions,
         )
 
     def _merge_hits(self, merged: pa.Table, sort) -> pa.Table:

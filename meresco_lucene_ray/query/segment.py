@@ -55,6 +55,7 @@ BLOCK_MIN_PRUNE = 1024
 class SegmentSearcher:
     def __init__(self, seg_dir: str, tombstones: dict[str, int] | None = None):
         post = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+        self.terms_arr: pa.Array = post["term"].combine_chunks()
         self.terms: list[str] = post["term"].to_pylist()
         self.term_idx: dict[str, int] = {t: i for i, t in enumerate(self.terms)}
         self.df = post["df"].to_numpy()
@@ -267,8 +268,15 @@ class SegmentSearcher:
                     break
                 out.append(self.terms[i])
             return out
-        rx = re.compile(fnmatch.translate(q.pattern))
-        return [t for t in self.terms if rx.match(t)]
+        # vectorized wildcard expansion: anchored RE2 over the Arrow term
+        # dictionary (one C pass), not a Python loop over the vocabulary
+        import pyarrow.compute as pc
+
+        rx = fnmatch.translate(q.pattern)
+        if rx.endswith(r"\Z"):
+            rx = rx[:-2] + "$"
+        mask = pc.match_substring_regex(self.terms_arr, "^" + rx)
+        return self.terms_arr.filter(mask).to_pylist()
 
     def _eval_phrase(self, q: PhraseQ, sim: BM25, stats: dict):
         n = self.n

@@ -367,3 +367,62 @@ def test_relational_wrapping_in_expression(ray_session, tmp_path):
     # w1 docs: a0, a3; flag=true keys {2,5} -> a1, a4
     assert set(res.ids()) == {"a0", "a3", "a1", "a4"}
     assert res.total == 4
+
+
+def test_suggestion_request_pass_through():
+    """converttocomposedquery.py:69-72: suggestionRequest rides the kwargs
+    straight onto the ComposedQuery."""
+    sr = {"suggests": ["dco"], "count": 5, "field": "text", "mode": "SUGGEST_ALWAYS"}
+    cq = _converter().convert(query="field=value", suggestion_request=sr)
+    assert cq.suggestion_request == sr
+    assert _converter().convert(query="field=value").suggestion_request is None
+
+
+def test_suggestion_request_end_to_end(ray_session, tmp_path):
+    """Lucene.java:334-342: a query with a suggestionRequest returns spell
+    suggestions per misspelled word alongside its hits, answered from the
+    result core's term dictionary."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.index import IndexConfig, build_index
+    from meresco_lucene_ray.join import MultiSearcher
+    from meresco_lucene_ray.query import IndexSearcher
+
+    a = pa.table(
+        {
+            "__id__": [f"a{i}" for i in range(8)],
+            "text": [f"alpha document w{i}" for i in range(7)] + ["alphas document w7"],
+            "key": pa.array(list(range(1, 9)), type=pa.int64()),
+        }
+    )
+    da = str(tmp_path / "sa")
+    build_index(
+        rd.from_arrow(a),
+        da,
+        IndexConfig(text_col="text", id_col="__id__", stored_cols=("key",), num_shards=2),
+    )
+    ms = MultiSearcher({"coreA": IndexSearcher(da, num_actors=1, num_cpus=0.25)}, 16)
+    conv = ConvertToComposedQuery(
+        results_from="coreA",
+        cql_configs={"coreA": CqlConfig(text_col="text", strict=False)},
+        dedup_by_default=False,
+    )
+    cq = conv.convert(
+        query="alpha",
+        suggestion_request={"suggests": ["dcoument", "alpha"], "count": 5},
+    )
+    res = ms.execute(cq)
+    assert res.total == 7
+    # 'dcoument' -> 'document' (distance 2, shares first char)
+    assert res.suggestions["dcoument"][0][0] == "document"
+    # default mode SUGGEST_WHEN_NOT_IN_INDEX: indexed word gets none
+    assert res.suggestions["alpha"] == []
+    # mode ALWAYS suggests even for indexed words
+    cq2 = conv.convert(
+        query="alpha",
+        suggestion_request={"suggests": ["alpha"], "count": 5, "mode": "SUGGEST_ALWAYS"},
+    )
+    sug = ms.execute(cq2).suggestions["alpha"]
+    assert sug and all(t != "alpha" for t, _, _ in sug)
+    # no request -> no suggestions attached
+    assert ms.execute(conv.convert(query="alpha")).suggestions is None
