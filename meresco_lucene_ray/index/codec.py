@@ -30,62 +30,37 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     whole segment's postings in O(max_bytes) numpy passes total.
 
     Fast paths for the dominant distributions: all-single-byte arrays (tf
-    columns, dense docid gaps) are one astype — no scatter at all.  Arrays
-    that are MOSTLY multi-byte (position gaps) go through a byte-matrix +
-    boolean-compaction write (sequential passes, zero fancy scatters);
-    arrays with a SPARSE multi-byte tail (docid gaps whose block-start
-    absolutes are huge) bulk-write byte 0 and pay scatters only over the
-    small multi-byte subset.  ~2-3× over the all-masked-scatter form on the
-    segment encoder's real inputs.
+    columns, dense docid gaps) are one astype — no scatter at all; in the
+    general case the first byte is written unmasked and only the small
+    multi-byte tail pays fancy-index scatters.
     """
     v = np.asarray(values, dtype=np.uint64)
-    n = v.size
-    if n == 0:
+    if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    multi = v >> np.uint64(7) != 0
-    n_multi = int(multi.sum())
-    if n_multi == 0:
-        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
-    maxb = (int(v.max()).bit_length() + 6) // 7
-    if n_multi * (maxb + 2) >= n:
-        # dense multi-byte: (n, maxb) byte matrix, compact valid bytes once
-        nbytes = np.ones(n, dtype=np.uint8)
-        for k in range(1, maxb):
-            nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.uint8)
-        M = np.empty((n, maxb), dtype=np.uint8)
-        for k in range(maxb):
-            col = ((v >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
-            if k < maxb - 1:
-                col |= (nbytes > k + 1).astype(np.uint8) << 7
-            M[:, k] = col
-        valid = nbytes[:, None] > np.arange(maxb, dtype=np.uint8)[None, :]
-        out = M.reshape(-1)[valid.reshape(-1)]
-        return out.tobytes(), nbytes.astype(np.int64)
-    # sparse multi-byte tail: 1-byte bulk write + fixups over the subset
-    idx = np.flatnonzero(multi)
-    vm = v[idx]
-    nb_m = np.ones(idx.size, dtype=np.int64)
-    sh = vm >> np.uint64(7)
+    big = v >> np.uint64(7)
+    if not big.any():
+        return v.astype(np.uint8).tobytes(), np.ones(v.size, dtype=np.int64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    shifted = big
     while True:
-        m = sh > 0
-        if not m.any():
+        mask = shifted > 0
+        if not mask.any():
             break
-        nb_m[m] += 1
-        sh = sh >> np.uint64(7)
-    nbytes = np.ones(n, dtype=np.int64)
-    nbytes[idx] = nb_m
-    starts = np.empty(n, dtype=np.int64)
-    np.cumsum(nbytes[:-1], out=starts[1:])
-    starts[0] = 0
-    out = np.empty(int(starts[-1] + nbytes[-1]), dtype=np.uint8)
-    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8)
-    st_m = starts[idx]
-    out[st_m] |= 0x80
-    for k in range(1, int(nb_m.max())):
-        m = nb_m > k
-        byte = (vm[m] >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = (nb_m[m] > k + 1).astype(np.uint8) << 7
-        out[st_m[m] + k] = byte.astype(np.uint8) | cont
+        nbytes[mask] += 1
+        shifted = shifted >> np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    maxb = int(nbytes.max())
+    # byte 0 exists for EVERY value — no mask needed
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        (nbytes > 1).astype(np.uint8) << 7
+    )
+    for k in range(1, maxb):
+        mask = nbytes > k
+        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = byte.astype(np.uint8) | cont
     return out.tobytes(), nbytes
 
 
