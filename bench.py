@@ -231,7 +231,7 @@ def run_scaling() -> None:
     # interleave the legs and keep each leg's best run: host steal on this VM
     # comes in multi-minute bursts that would otherwise sink whichever single
     # leg they landed on (observed 4× wall-time swings; see BASELINE.md)
-    reps = int(os.environ.get("MLR_SCALE_REPS", "2"))
+    reps = int(os.environ.get("MLR_SCALE_REPS", "3"))
     lo_runs, hi_runs = [], []
     for _ in range(reps):
         lo_runs.append(run(lo_n))

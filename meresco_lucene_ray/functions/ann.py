@@ -103,20 +103,26 @@ class IvfAssigner:
 def ivf_topk(
     ds, query_vec, k=10, vec_col="embedding", id_col="vec_id",
     n_centroids=16, n_probe=4, sample_size=2048, iters=10, seed=5,
+    centroids=None, exclude_ids=(),
 ):
     """IVF (inverted-file) approximate top-k — the k-means counterpart of
-    ``lsh_topk``: train a coarse quantizer on a driver-side sample, assign
-    every vector to its nearest centroid in one map_batches pass
-    (materialized once), then score ONLY the ``n_probe`` cells nearest the
-    query.  At 100 TB the assignment doubles as the partitioning key for
-    parquet layout, so probes prune at the read."""
+    ``lsh_topk``: train a coarse quantizer on a driver-side sample (or take
+    a pre-trained one via ``centroids`` — IVF quantizers normally train
+    offline, once, and get reused across queries), assign every vector to
+    its nearest centroid in one map_batches pass (materialized once), then
+    score ONLY the ``n_probe`` cells nearest the query.  At 100 TB the
+    assignment doubles as the partitioning key for parquet layout, so
+    probes prune at the read."""
     import ray
 
     q = np.asarray(query_vec, dtype=np.float64)
-    sample = np.asarray(
-        [r[vec_col] for r in ds.take(sample_size)], dtype=np.float64
-    )
-    centroids = kmeans_fit(sample, n_centroids, iters, seed)
+    if centroids is None:
+        sample = np.asarray(
+            [r[vec_col] for r in ds.take(sample_size)], dtype=np.float64
+        )
+        centroids = kmeans_fit(sample, n_centroids, iters, seed)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
     ref = ray.put(centroids)
     assigned = ds.map_batches(
         IvfAssigner,
@@ -136,7 +142,7 @@ def ivf_topk(
         return batch.filter(pa.array(mask))
 
     candidates = assigned.map_batches(in_probe, batch_format="pyarrow")
-    return brute_force_topk(candidates, q, k, vec_col, id_col)
+    return brute_force_topk(candidates, q, k, vec_col, id_col, exclude_ids)
 
 
 def lsh_topk(

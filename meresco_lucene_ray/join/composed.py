@@ -57,6 +57,9 @@ class ComposedQuery:
     dedup_field: str | None = None
     dedup_sort_field: str | None = None
     clustering: bool = False
+    # ClusterConfig override; None falls back to the MultiSearcher's default
+    # (the reference's LuceneSettings.clusterConfig, Lucene.java:257-266)
+    cluster_config: Any = None
     relational_filter: Any = None  # J7 expression; OVERRIDES filter_queries keys
     start: int = 0
     stop: int = 10
@@ -78,9 +81,13 @@ class ComposedQuery:
 class MultiSearcher:
     """MultiLucene analog: {coreName → IndexSearcher} + one numerated key space."""
 
-    def __init__(self, cores: dict[str, IndexSearcher], key_space: int):
+    def __init__(
+        self, cores: dict[str, IndexSearcher], key_space: int, cluster_config=None
+    ):
         self.cores = cores
         self.key_space = key_space
+        # default ClusterConfig (LuceneSettings.clusterConfig analog)
+        self.cluster_config = cluster_config
 
     def resolve_relational(self, q):
         """Replace every embedded RelationalQ node (cross-core clause from the
@@ -101,6 +108,27 @@ class MultiSearcher:
                 boost=q.boost,
             )
         return q
+
+    def _maybe_cluster(self, cq: ComposedQuery, searcher, final_q, res) -> None:
+        """Attach ClusterHits when ``cq.clustering`` is on
+        (clusterTopDocsResponse, Lucene.java:365-414).  The config falls
+        back to the MultiSearcher-level default (LuceneSettings
+        .clusterConfig) and the term vectors come from the searcher's
+        registered provider; with neither, the flag is a no-op — exactly
+        the reference's null-clusterConfig behavior (Lucene.java:257-266)."""
+        if not cq.clustering:
+            return
+        config = cq.cluster_config or self.cluster_config
+        if config is None or searcher.termvectors_fn is None:
+            return
+        _total, hits = searcher.cluster_top_docs(
+            final_q,
+            config,
+            searcher.termvectors_fn,
+            start=cq.start,
+            stop=cq.stop,
+        )
+        res.cluster_hits = hits
 
     def execute(self, cq: ComposedQuery) -> SearchResult:
         result_core = cq.result_core
@@ -144,6 +172,7 @@ class MultiSearcher:
                 suggestion_request=cq.suggestion_request,
             )
             _shape_facets(res, result_core, result_core, cq.facets.get(result_core, ()))
+            self._maybe_cluster(cq, searcher, base_q, res)
             return res
 
         # Each other core's bitset is applied through the RESULT-side key
@@ -295,6 +324,7 @@ class MultiSearcher:
             res.drilldown_data["__exported_keys__"] = KeyBits(
                 searcher.collect_keys(final_q, _any_rkey(), self.key_space)
             )
+        self._maybe_cluster(cq, searcher, final_q, res)
         return res
 
 

@@ -643,6 +643,32 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ivf_ann_topk(sf_dir: str) -> pa.Table:
+    """IVF ANN top-10: coarse quantizer = the embeddings of vec_id 0..15
+    (a deterministic pre-trained-quantizer stand-in — the production path
+    trains via kmeans_fit, exercised by tests/test_functions.py), probe the
+    4 cells nearest the query (vec_id 0), brute-force cosine within."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.ann import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.take(pc.sort_indices(emb, sort_keys=[("vec_id", "ascending")]))
+    qvec = np.asarray(emb["embedding"][0].as_py())
+    cents = np.asarray(emb["embedding"].slice(0, 16).to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = ivf_topk(ds, qvec, k=10, n_probe=4, centroids=cents, exclude_ids=(0,))
+    return pa.table(
+        {
+            "vec_id": out["vec_id"],
+            "cosine": pa.array(_round4(out["cosine"].to_numpy())),
+        }
+    )
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
@@ -933,6 +959,84 @@ def q_cluster_topdocs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cluster_multi(sf_dir: str) -> pa.Table:
+    """Q12 multi-strategy clustering (MerescoClusterer.java:52-237) with an
+    EXACT SQL oracle: strategies are most-filters-first (docs containing
+    'data' go to the filtered strategy A, the rest to B); min_points=1
+    DBSCAN over the eps-graph equals its connected components (commons-math
+    semantics: every non-isolated point is core); and the generalized-
+    Jaccard threshold dist<=eps over INTEGER tf vectors compares exactly by
+    cross-multiplication smin*den >= num*smax (1-eps = num/den), so there is
+    no float-boundary risk on either side.  Per cluster: representative =
+    min doc_id, size, top term by (summed tf desc, term asc)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ..analysis import tokenize
+    from ..cluster import ClusterConfig, ClusterStrategy, MerescoClusterer
+
+    t = pq.read_table(_documents_path(sf_dir), columns=["doc_id", "text"])
+    t = t.filter(pc.less(t["doc_id"], 60))
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+    config = ClusterConfig()
+    config.add_strategy(ClusterStrategy(0.45, 1).add_field("text", 1.0, "data"))
+    config.add_strategy(ClusterStrategy(0.5, 1).add_field("text", 1.0, None))
+    clusterer = MerescoClusterer(config)
+    for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        clusterer.collect(int(d), {"text": Counter(tokenize(tx or ""))})
+
+    rows = []
+    # 1-eps as exact rationals, in the clusterer's (most-filters-first) order
+    for sc, (num, den), name in zip(
+        clusterer.strategy_clusterers, [(11, 20), (1, 2)], ["A", "B"]
+    ):
+        docs = sc.docvectors
+        n = len(docs)
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        has_edge = [False] * n
+        for i in range(n):
+            vi = docs[i][1]
+            for j in range(i + 1, n):
+                vj = docs[j][1]
+                keys = vi.keys() | vj.keys()
+                smin = sum(min(int(vi.get(k, 0)), int(vj.get(k, 0))) for k in keys)
+                smax = sum(max(int(vi.get(k, 0)), int(vj.get(k, 0))) for k in keys)
+                if smax > 0 and smin * den >= num * smax:  # dist <= eps, exact
+                    parent[find(i)] = find(j)
+                    has_edge[i] = has_edge[j] = True
+        comps: dict[int, list[int]] = {}
+        for i in range(n):
+            if has_edge[i]:  # isolated points are noise (minPts=1, no self)
+                comps.setdefault(find(i), []).append(i)
+        for idxs in comps.values():
+            ids = [docs[i][0] for i in idxs]
+            merged: Counter = Counter()
+            for i in idxs:
+                for o, w in docs[i][1].items():
+                    merged[o] += int(w)
+            by_ord = {o: term for term, o in clusterer._ords.items()}
+            top = min(merged.items(), key=lambda kv: (-kv[1], by_ord[kv[0]]))
+            rows.append((name, min(ids), len(ids), by_ord[top[0]]))
+    rows.sort()
+    return pa.table(
+        {
+            "strategy": pa.array([r[0] for r in rows], type=pa.string()),
+            "rep_doc": pa.array([r[1] for r in rows], type=pa.int64()),
+            "size": pa.array([r[2] for r in rows], type=pa.int64()),
+            "top_term": pa.array([r[3] for r in rows], type=pa.string()),
+        }
+    )
+
+
 def q_autocomplete(sf_dir: str) -> pa.Table:
     """O27: shingle/ngram autocomplete over document title-ish prefixes."""
     import ray.data as rd
@@ -1183,7 +1287,88 @@ FROM scored ORDER BY cos DESC, vec_id LIMIT {k}
 """
 
 
+# cluster_multi: min_points=1 DBSCAN == connected components of the exact
+# integer-compared eps-graph; strategies assigned most-filters-first
+_CLUSTER_MULTI_SQL = f"""
+WITH RECURSIVE d40 AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 60
+),
+strat AS (
+  SELECT doc_id, CASE WHEN list_contains(toks, 'data') THEN 'A' ELSE 'B' END AS strategy, toks
+  FROM d40
+),
+tf AS (
+  SELECT doc_id, strategy, term, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, strategy, unnest(toks) AS term FROM strat)
+  GROUP BY doc_id, strategy, term
+),
+sizes AS (SELECT doc_id, sum(cnt)::BIGINT AS sz FROM tf GROUP BY doc_id),
+inter AS (
+  SELECT x.strategy, x.doc_id AS ida, y.doc_id AS idb, sum(least(x.cnt, y.cnt))::BIGINT AS smin
+  FROM tf x JOIN tf y ON x.term = y.term AND x.strategy = y.strategy AND x.doc_id < y.doc_id
+  GROUP BY x.strategy, x.doc_id, y.doc_id
+),
+edges0 AS (
+  SELECT i.strategy, i.ida, i.idb FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.ida JOIN sizes sb ON sb.doc_id = i.idb
+  WHERE (i.strategy = 'A' AND i.smin * 20 >= 11 * (sa.sz + sb.sz - i.smin))
+     OR (i.strategy = 'B' AND i.smin * 2  >=     (sa.sz + sb.sz - i.smin))
+),
+edges AS (
+  SELECT strategy, ida AS a, idb AS b FROM edges0
+  UNION ALL SELECT strategy, idb, ida FROM edges0
+),
+reach AS (
+  SELECT strategy, a, b FROM edges
+  UNION
+  SELECT r.strategy, r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND r.strategy = e.strategy
+),
+members AS (
+  SELECT strategy, a AS doc_id, least(a, min(b)) AS label FROM reach GROUP BY strategy, a
+),
+term_sums AS (
+  SELECT m.strategy, m.label, t.term, sum(t.cnt) AS s
+  FROM members m JOIN tf t ON t.doc_id = m.doc_id AND t.strategy = m.strategy
+  GROUP BY m.strategy, m.label, t.term
+),
+top_terms AS (
+  SELECT strategy, label, term AS top_term FROM (
+    SELECT strategy, label, term,
+           row_number() OVER (PARTITION BY strategy, label ORDER BY s DESC, term) AS rn
+    FROM term_sums
+  ) WHERE rn = 1
+),
+agg AS (SELECT strategy, label AS rep_doc, count(*)::BIGINT AS size FROM members GROUP BY strategy, label)
+SELECT a.strategy, a.rep_doc::BIGINT AS rep_doc, a.size, t.top_term
+FROM agg a JOIN top_terms t ON t.strategy = a.strategy AND t.label = a.rep_doc
+ORDER BY a.strategy, a.rep_doc
+"""
+
+_IVF_ANN_SQL = f"""
+WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id < 16),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.c) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY list_distance(q.qv, c.c) ASC, c.cid ASC) AS rn
+    FROM cents c, q) WHERE rn <= 4
+)
+SELECT a.vec_id,
+       {_round4_sql("list_cosine_similarity(a.v, q.qv)")} AS cosine
+FROM assign a JOIN probe USING (cid), q
+WHERE a.vec_id <> 0
+ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id LIMIT 10
+"""
+
 ORACLES: dict[str, str] = {
+    "cluster_multi": _CLUSTER_MULTI_SQL,
+    "ivf_ann_topk": _IVF_ANN_SQL,
     "langid": _langid_sql(),
     "fingerprint": _fingerprint_sql(),
     "simhash": _simhash_sql(),
@@ -1435,5 +1620,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "lsh_ann_topk": q_lsh_ann,
     "media_features": q_media_features,
     "cluster_topdocs": q_cluster_topdocs,
+    "cluster_multi": q_cluster_multi,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "autocomplete": q_autocomplete,
 }

@@ -238,6 +238,9 @@ class SearchResult:
     # word -> [(suggestion, df, distance)] when the query carried a
     # suggestionRequest (Lucene.java:334-342)
     suggestions: dict[str, list] | None = None
+    # ClusterHit list when the query ran with clustering
+    # (clusterTopDocsResponse, Lucene.java:365-414)
+    cluster_hits: list | None = None
 
     def ids(self) -> list[str]:
         return self.hits["__id__"].to_pylist()
@@ -257,6 +260,15 @@ def _suggest_mode(mode: str | None) -> str:
 
 class IndexSearcher:
     """Actor-pool searcher over a built index directory."""
+
+    # per-doc term-vector provider for clustering:
+    # fn(ids: list[str]) -> list[dict[fieldname, Counter]]  (the reference
+    # reads stored Lucene term vectors; this engine does not store them, so
+    # deployments register a lookup — see cluster_top_docs)
+    termvectors_fn = None
+
+    def set_termvector_provider(self, fn) -> None:
+        self.termvectors_fn = fn
 
     def __init__(
         self,
@@ -698,10 +710,89 @@ class IndexSearcher:
 
         return _ss(self.all_term_stats(), term, count=count, mode=mode)
 
+    def cluster_top_docs(
+        self,
+        q,
+        cluster_config,
+        termvectors_fn,
+        start: int = 0,
+        stop: int = 10,
+    ):
+        """clusterTopDocsResponse (Lucene.java:253-269,365-414): overfetch
+        ``stop + clusterMoreRecords`` hits, cluster them with a
+        ``MerescoClusterer`` (eps interpolated by how far the result set
+        falls short of the overfetch), then walk the ranked hits collapsing
+        each one into its cluster — the cluster's PageRank-top doc becomes
+        the representative, the rest are marked seen and skipped.
+
+        ``termvectors_fn(ids: list[str]) -> list[dict[field, Counter]]``
+        supplies per-doc term vectors (the reference reads them from the
+        Lucene index; this engine does not store term vectors, so the
+        caller provides the lookup — typically a batched stored-field or
+        source-table read).  Returns (total_hits, [ClusterHit...])."""
+        from ..cluster import ClusterHit, DocScore, MerescoClusterer, TermScore
+
+        more = cluster_config.cluster_more_records
+        res = self.execute(q, start=0, stop=stop + more)
+        hits = res.hits
+        ids = hits["__id__"].to_pylist()[start:]
+        docids = hits["docid"].to_pylist()[start:]
+        scores = hits["score"].to_pylist()[start:]
+
+        clusterer = MerescoClusterer(
+            cluster_config,
+            total_hits=res.total,
+            slice_size=stop - start,
+            interpolate=True,
+        )
+        by_docid = dict(zip(docids, ids))
+        for did, ft in zip(docids, termvectors_fn(ids)):
+            clusterer.collect(did, ft)
+        clusterer.finish()
+
+        out: list[ClusterHit] = []
+        seen: set[int] = set()
+        count = start
+        for did, hid, sc in zip(docids, ids, scores):
+            if count >= stop:
+                break
+            if did in seen:
+                continue
+            cluster = clusterer.cluster(did)
+            if cluster is None:
+                seen.add(did)
+                out.append(ClusterHit(id=hid, score=float(sc)))
+            else:
+                rep = cluster.top_docs[0].doc_id
+                for ds in cluster.top_docs:
+                    seen.add(ds.doc_id)
+                out.append(
+                    ClusterHit(
+                        id=by_docid.get(rep, hid),
+                        score=float(sc),
+                        top_docs=[
+                            DocScore(by_docid.get(d.doc_id, d.doc_id), d.score)
+                            for d in cluster.top_docs
+                        ],
+                        top_terms=list(cluster.top_terms),
+                    )
+                )
+            count += 1
+        return res.total, out
+
     def more_like_this(self, doc_id: str, text: str, stop: int = 10) -> SearchResult:
         """Q15 similarDocuments (Lucene.java:818-846): OR-query of the doc's
         terms, MUST_NOT itself; caller provides the doc's text (stored
-        content is not kept in the index)."""
+        content is not kept in the index).
+
+        The reference wraps the terms in ``CommonTermsQuery(SHOULD, SHOULD,
+        0.1)``.  With BOTH occurs SHOULD (as here) that query builds two
+        nested SHOULD boolean groups — high-df terms (df > 0.1·maxDoc) and
+        the rest — whose outer sum-of-matching-clause scores equals the flat
+        OR's sum in coord-free (7.0+) Lucene BM25; the 0.1 split changes
+        ranking only for the MUST lowFreqOccur variants the reference never
+        uses.  A flat OR is therefore score- and match-equivalent, not an
+        approximation."""
         from ..analysis import tokenize
         from .ast import DocValEqQ, TermQ
 
