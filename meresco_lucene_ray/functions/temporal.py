@@ -1,0 +1,121 @@
+"""Temporal operators over event streams: gap sessionization + as-of join.
+
+Neither exists in the reference (it is a search engine), but both are core
+operations of the large-scale event/training-data pipelines this engine
+targets; they follow the repo's standard patterns:
+
+- ``sessionize``: keyed windowed aggregate — ``groupby(key).map_groups``
+  with a fully vectorized per-group kernel (diff → gap mask → cumsum
+  session ids → reduceat bounds).  The shuffle is BY KEY, so at 100 TB it
+  is one hash exchange and each group's work stays local; no driver
+  materialization.
+- ``asof_join_broadcast``: the small right side (sorted per key) is
+  ``ray.put`` ONCE and every left batch resolves matches with two
+  ``searchsorted`` passes over a composite (key, time-rank) key — zero
+  per-row Python, no shuffle of the big side.  For large-large as-of
+  joins, range-partition both sides on time and apply this per partition
+  (documented assumption, same as Ray Data's sort-based joins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def sessionize(
+    ds,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    id_col: str | None = None,
+):
+    """Gap-based sessions per key: a new session starts when the time since
+    the key's previous event exceeds ``gap_us`` (microseconds).
+
+    Returns a Dataset of (key_col, session_start us, n_events, duration_us),
+    one row per session.  ``id_col`` breaks ordering ties between events
+    with identical timestamps (deterministic across engines)."""
+
+    def per_group(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        if id_col is not None:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, ts))
+        else:
+            order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        n = ts.size
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:], [n]])
+        key = t[key_col][0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([key] * starts.size, type=t.schema.field(key_col).type),
+                "session_start": pa.array(ts[starts], type=pa.int64()),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "duration_us": pa.array(ts[ends - 1] - ts[starts]),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def asof_join_broadcast(
+    left_ds,
+    right_table: pa.Table,
+    key_col: str,
+    ts_col: str,
+    right_ts_col: str | None = None,
+    out_col: str = "asof_ts",
+):
+    """For each left row, the greatest right ``ts <= left ts`` with the same
+    key (inner: unmatched left rows drop) — DuckDB/kdb ASOF JOIN semantics.
+
+    The right side is broadcast once; matching is two vectorized
+    searchsorted passes per batch via a composite (key, time-rank) int64:
+    time ranks are positions in the right side's globally ts-sorted order,
+    so ``key * (N+1) + rank`` is unique, fits int64, and sorts exactly like
+    (key, ts).  Appends ``out_col`` (the matched right timestamp, us)."""
+    import ray
+
+    rts_col = right_ts_col or ts_col
+    r_ts = right_table[rts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+    r_key = right_table[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = r_ts.size
+    # global time ranks (stable): rank of row j in ts-sorted order
+    ts_order = np.argsort(r_ts, kind="stable")
+    sorted_ts = r_ts[ts_order]
+    rank = np.empty(n, dtype=np.int64)
+    rank[ts_order] = np.arange(n)
+    comp = r_key * np.int64(n + 1) + rank + 1  # +1 so searchsorted('right') lands after
+    comp_order = np.argsort(comp, kind="stable")
+    state = {
+        "comp": comp[comp_order],
+        "key": r_key[comp_order],
+        "ts": r_ts[comp_order],
+        "sorted_ts": sorted_ts,
+        "n": n,
+    }
+    ref = ray.put(state)
+
+    def match(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        l_ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        l_key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # rank of each left ts among right ts values, counting equals
+        l_rank = np.searchsorted(st["sorted_ts"], l_ts, side="right")
+        l_comp = l_key * np.int64(st["n"] + 1) + l_rank
+        pos = np.searchsorted(st["comp"], l_comp, side="right") - 1
+        ok = pos >= 0
+        safe = np.where(ok, pos, 0)
+        ok &= (st["key"][safe] == l_key) & (st["ts"][safe] <= l_ts)
+        idx = pa.array(np.flatnonzero(ok))
+        return batch.take(idx).append_column(
+            out_col, pa.array(st["ts"][safe][np.asarray(ok)], type=pa.int64())
+        )
+
+    return left_ds.map_batches(match, batch_format="pyarrow")

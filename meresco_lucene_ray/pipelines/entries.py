@@ -908,6 +908,58 @@ def q_events_window(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["event_type", "window", "cnt", "val"]], preserve_index=False)
 
 
+def q_events_sessions(sf_dir: str) -> pa.Table:
+    """Gap sessionization (30-min inactivity) per user over the events
+    stream: keyed groupby.map_groups with a vectorized per-group kernel —
+    the canonical streaming-sessionization shape (one hash exchange by
+    user, session logic local to each group)."""
+    import ray.data as rd
+
+    from ..functions.temporal import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+    out = sessionize(ds, "user_id", "ts", gap_us=1_800_000_000, id_col="event_id")
+    import ray
+
+    parts = [p for p in ray.get(out.to_arrow_refs()) if len(p)]
+    t = pa.concat_tables(parts, promote_options="default")
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("session_start", "ascending")]
+        )
+    )
+
+
+def q_events_asof(sf_dir: str) -> pa.Table:
+    """As-of join: each 'error' event matched to the user's most recent
+    'click' at or before it (inner).  Broadcast right side + two vectorized
+    searchsorted passes per batch; DuckDB's native ASOF JOIN is the oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.temporal import asof_join_broadcast
+
+    clicks = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    clicks = clicks.filter(pc.equal(clicks["event_type"], "click")).select(
+        ["user_id", "ts"]
+    )
+    errors = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).filter(expr="event_type == 'error'")
+    out = asof_join_broadcast(errors, clicks, "user_id", "ts", out_col="click_ts")
+    import ray
+
+    parts = [p for p in ray.get(out.to_arrow_refs()) if len(p)]
+    t = pa.concat_tables(parts, promote_options="default")
+    t = t.select(["event_id", "click_ts"])
+    return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+
+
 def q_facet_hier(sf_dir: str) -> pa.Table:
     """Q9 hierarchical facets: rollup counts over the source>lang taxonomy
     for 'data' matches (top level + every 2-level path)."""
@@ -1366,9 +1418,44 @@ WHERE a.vec_id <> 0
 ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id LIMIT 10
 """
 
+_EVENTS_SESSIONS_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+brk AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM x
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+)
+SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start,
+       count(*)::BIGINT AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+_EVENTS_ASOF_SQL = """
+WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, epoch_us(c.ts)::BIGINT AS click_ts
+FROM err e ASOF JOIN clk c ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+"""
+
 ORACLES: dict[str, str] = {
     "cluster_multi": _CLUSTER_MULTI_SQL,
     "ivf_ann_topk": _IVF_ANN_SQL,
+    "events_sessions": _EVENTS_SESSIONS_SQL,
+    "events_asof": _EVENTS_ASOF_SQL,
     "langid": _langid_sql(),
     "fingerprint": _fingerprint_sql(),
     "simhash": _simhash_sql(),
@@ -1622,5 +1709,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "cluster_topdocs": q_cluster_topdocs,
     "cluster_multi": q_cluster_multi,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
     "autocomplete": q_autocomplete,
 }
