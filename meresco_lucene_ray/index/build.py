@@ -67,6 +67,12 @@ class IndexConfig:
     analyzer: str = "standard"          # "standard" | "whitespace" (M1/M3)
     ascii_folding: bool = False         # ASCIIFoldingFilter analog
     stem: str | None = None             # e.g. "dutch" (M2: emit stemmed+original)
+    # store per-doc (term, tf) vectors in docs.parquet — the analog of
+    # Lucene's FieldType.setStoreTermVectors(true), which the reference's
+    # clustering reads (MerescoClusterer.termVector); costs ~dl extra
+    # storage per doc, zero extra compute (the tokenize stage already has
+    # the vectors in hand)
+    store_termvectors: bool = False
 
     def fingerprint(self) -> str:
         # canonical JSON so a config round-tripped through manifest.json
@@ -500,6 +506,11 @@ class SegmentBuilder:
         }
         if cfg.hash_content and "content_sha256" in group.column_names:
             doc_cols["content_sha256"] = group["content_sha256"]
+        if cfg.store_termvectors:
+            # per-doc (term, tf) vectors — list<str>/list<int32>; the fused
+            # path's dictionary-encoded values round-trip through parquet
+            doc_cols["tv_terms"] = group["terms"]
+            doc_cols["tv_tfs"] = group["tfs"]
         for c in cfg.stored_cols:
             doc_cols[c] = group[c]
         docs_table = pa.table(doc_cols)

@@ -119,7 +119,9 @@ class MultiSearcher:
         if not cq.clustering:
             return
         config = cq.cluster_config or self.cluster_config
-        if config is None or searcher.termvectors_fn is None:
+        if config is None or (
+            searcher.termvectors_fn is None and not searcher.has_stored_termvectors()
+        ):
             return
         _total, hits = searcher.cluster_top_docs(
             final_q,

@@ -270,6 +270,26 @@ class IndexSearcher:
     def set_termvector_provider(self, fn) -> None:
         self.termvectors_fn = fn
 
+    def has_stored_termvectors(self) -> bool:
+        """True when the index was built with ``store_termvectors=True`` —
+        the Lucene storeTermVectors analog; clustering then needs no
+        external provider."""
+        return bool(self.manifest.config.get("store_termvectors"))
+
+    def termvectors_by_docid(self, docids) -> dict:
+        """docid → {text_field: Counter(term→tf)} from the stored tv_terms/
+        tv_tfs doc columns (reader.getTermVector analog)."""
+        from collections import Counter
+
+        t = self.fetch(docids, ["tv_terms", "tv_tfs"])
+        field = self.manifest.config.get("text_col", "content")
+        out = {}
+        for did, terms, tfs in zip(
+            t["docid"].to_pylist(), t["tv_terms"].to_pylist(), t["tv_tfs"].to_pylist()
+        ):
+            out[did] = {field: Counter(dict(zip(terms, tfs)))}
+        return out
+
     def __init__(
         self,
         index_dir: str,
@@ -714,7 +734,7 @@ class IndexSearcher:
         self,
         q,
         cluster_config,
-        termvectors_fn,
+        termvectors_fn=None,
         start: int = 0,
         stop: int = 10,
     ):
@@ -746,7 +766,12 @@ class IndexSearcher:
             interpolate=True,
         )
         by_docid = dict(zip(docids, ids))
-        for did, ft in zip(docids, termvectors_fn(ids)):
+        if termvectors_fn is None and self.has_stored_termvectors():
+            tvs = self.termvectors_by_docid(docids)
+            fts = [tvs.get(did, {}) for did in docids]
+        else:
+            fts = termvectors_fn(ids)
+        for did, ft in zip(docids, fts):
             clusterer.collect(did, ft)
         clusterer.finish()
 

@@ -107,3 +107,42 @@ def test_clustering_flag_through_multisearcher(searcher):
     cq3 = ComposedQuery(result_core="core", queries={"core": MatchAllQ()}, stop=3)
     cq3.clustering = True
     assert ms_nocfg.execute(cq3).cluster_hits is None
+
+
+def test_stored_termvectors_cluster_without_provider(ray_session, tmp_path):
+    """store_termvectors=True (the Lucene storeTermVectors analog): the
+    index serves its own term vectors; clustering needs no external
+    provider, through both cluster_top_docs and the composed path."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.index import IndexConfig, build_index
+    from meresco_lucene_ray.join import ComposedQuery, MultiSearcher
+
+    t = pa.table(
+        {
+            "__id__": list(TEXTS),
+            "text": list(TEXTS.values()),
+        }
+    )
+    d = str(tmp_path / "tvidx")
+    build_index(
+        rd.from_arrow(t),
+        d,
+        IndexConfig(text_col="text", id_col="__id__", num_shards=2, store_termvectors=True),
+    )
+    s = IndexSearcher(d, num_actors=1, num_cpus=0.25)
+    assert s.has_stored_termvectors()
+    total, hits = s.cluster_top_docs(TermQ("common"), _config(), stop=3)
+    assert total == 15 and len(hits) == 3
+    assert all(len(h.top_docs) == 5 for h in hits)
+    # stored vectors equal the analyzer's view of the doc's text
+    res0 = s.execute(TermQ("common"), stop=15, stored_fields=())
+    did0 = res0.hits["docid"][0].as_py()
+    id0 = res0.hits["__id__"][0].as_py()
+    (ft,) = s.termvectors_by_docid([did0]).values()
+    assert ft["text"] == Counter(tokenize(TEXTS[id0]))
+    ms = MultiSearcher({"core": s}, 16, cluster_config=_config())
+    cq = ComposedQuery(result_core="core", queries={"core": TermQ("common")}, stop=3)
+    cq.clustering = True
+    res = ms.execute(cq)
+    assert res.cluster_hits is not None and len(res.cluster_hits) == 3
