@@ -740,6 +740,33 @@ def q_simhash(sf_dir: str) -> pa.Table:
     )
 
 
+def q_simhash_neardup(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs: 4 exact-match 16-bit band buckets (pigeonhole
+    over Hamming ≤ 3 — zero recall loss), xor+popcount verify in-bucket."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.dedup import simhash_neardup_pairs
+
+    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = simhash_neardup_pairs(ds, "text", "doc_id", max_hamming=3)
+    parts = [p for p in ray.get(out.to_arrow_refs()) if len(p)]
+    t = (
+        pa.concat_tables(parts, promote_options="default")
+        if parts
+        else pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+    )
+
+
 def q_langid(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
@@ -1205,6 +1232,44 @@ FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
 """
 
 
+def _simhash_neardup_sql() -> str:
+    """SimHash near-dup: same frozen simhash CTE chain, then 16-bit band
+    buckets (size ≤ 64 skew guard, mirroring simhash_neardup_pairs), pair
+    within buckets, verify bit_count(xor) ≤ 3 — all integer-exact."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+uniq AS (SELECT doc_id, t, count(*)::BIGINT AS cnt FROM occ GROUP BY doc_id, t),
+hashed AS (SELECT doc_id, cnt, ({_fnv_sql('t')})::UBIGINT AS h FROM uniq),
+bits AS (
+  SELECT doc_id, j.j, sum(cnt * (2 * ((h >> j.j) & 1)::BIGINT - 1)) AS vote
+  FROM hashed, (SELECT unnest(range(64)) AS j) j
+  GROUP BY doc_id, j.j
+),
+vals AS (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::HUGEINT << j) ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+),
+sims AS (
+  SELECT d.doc_id, COALESCE(v.v, 0)::UBIGINT AS s
+  FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
+),
+bands AS (
+  SELECT doc_id, s, b.b, ((s >> (16 * b.b)::UBIGINT) & 65535)::BIGINT AS band
+  FROM sims, (SELECT unnest(range(4)) AS b) b
+),
+sized AS (SELECT *, count(*) OVER (PARTITION BY b, band) AS bs FROM bands),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
+  FROM sized a JOIN sized b2 ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id
+  WHERE a.bs <= 64
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def _minhash_ctes(num_perm: int, bands: int, shingle_n: int) -> str:
     """Shared CTE chain tok→shingles→signatures→band rows, generated from the
     SAME frozen MinHasher(seed=7) permutation constants as the engine."""
@@ -1459,6 +1524,7 @@ ORACLES: dict[str, str] = {
     "langid": _langid_sql(),
     "fingerprint": _fingerprint_sql(),
     "simhash": _simhash_sql(),
+    "simhash_neardup": _simhash_neardup_sql(),
     "minhash_lsh_buckets": _minhash_buckets_sql(),
     "neardup_verified": _neardup_verified_sql(),
     "autocomplete": _autocomplete_sql(),
@@ -1702,6 +1768,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "minhash_lsh_buckets": q_minhash_buckets,
     "neardup_verified": q_neardup_verified,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "lsh_ann_topk": q_lsh_ann,
