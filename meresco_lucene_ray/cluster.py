@@ -409,17 +409,26 @@ def _pagerank_bipartite(
     sorted stable-desc, terms as (ord, PR) in ord order sorted stable-desc).
     """
     doc_ids = [d for d, _ in vectors]
-    ords_used = sorted({o for _, v in vectors for o in v})
+    # zero-weight entries create no edge and no term node (PageRank.add
+    # skips docvector[ord] > 0.0 only)
+    ords_used = sorted({o for _, v in vectors for o, w in v.items() if w > 0.0})
     tpos = {o: i for i, o in enumerate(ords_used)}
     nd, nt = len(doc_ids), len(ords_used)
-    # edge arrays
+    # edge arrays — doc-major, ord order within doc: the SAME accumulation
+    # order as the reference's global edge list, so the float sums are
+    # bit-identical (pinned by tests/test_pagerank.py)
     e_doc = np.array(
-        [i for i, (_, v) in enumerate(vectors) for _ in v], dtype=np.int64
+        [i for i, (_, v) in enumerate(vectors) for _, w in sorted(v.items()) if w > 0.0],
+        dtype=np.int64,
     )
     e_term = np.array(
-        [tpos[o] for _, v in vectors for o in v], dtype=np.int64
+        [tpos[o] for _, v in vectors for o, w in sorted(v.items()) if w > 0.0],
+        dtype=np.int64,
     )
-    e_w = np.array([w for _, v in vectors for w in v.values()], dtype=np.float64)
+    e_w = np.array(
+        [w for _, v in vectors for _, w in sorted(v.items()) if w > 0.0],
+        dtype=np.float64,
+    )
     deg_d = np.bincount(e_doc, minlength=nd).astype(np.float64)
     deg_t = np.bincount(e_term, minlength=nt).astype(np.float64)
     node_count = nd + nt
