@@ -157,3 +157,83 @@ def test_config_from_dict():
     assert s.clustering_eps == 0.3 and s.clustering_min_points == 2
     # weight-0 field dropped at parse
     assert [(f.fieldname, f.filter_value) for f in s.fields] == [("dc:title", "x")]
+
+
+def test_generalized_jaccard_reference_values():
+    """GeneralizedJaccardDistanceTest.test — sparse-dict form of the same
+    pinned values (absent ords == zeros)."""
+    from meresco_lucene_ray.cluster import distance_matrix_sparse
+
+    def J(a, b):
+        return distance_matrix_sparse([a, b])[0, 1]
+
+    assert J({0: 1.0}, {0: 1.0}) == 0.0
+    assert J({}, {0: 1.0}) == 1.0
+    assert J({0: 1.0}, {}) == 1.0
+    assert J({0: 1.0, 1: 2.0}, {0: 1.0, 1: 2.0}) == 0.0
+    assert J({0: 1.0}, {0: 2.0}) == 0.5
+    assert J({0: 2.0}, {0: 8.0}) == 0.75
+    assert J({0: 8.0}, {0: 2.0}) == 0.75
+    assert J({0: 1.0, 1: 2.0}, {0: 3.0, 1: 3.0}) == 0.5
+    # testNaN: 0/0 distance defined as 1.0 here (the reference leaves NaN
+    # and commons-math then treats the pair as not-neighbors — same effect)
+    assert J({}, {}) == 1.0
+
+
+def test_interpolate_epsilon_reference_table():
+    """EpsilonInterpolatorTest.testInterpolateEps (eps 0.4, more=100 — the
+    LuceneSettings defaults)."""
+    cases = [
+        (0, 10, 0.0), (10, 10, 0.0), (11, 10, 0.004), (110, 10, 0.4),
+        (111, 10, 0.4), (0, 20, 0.0), (20, 20, 0.0), (21, 20, 0.004),
+        (100, 20, 0.32), (120, 20, 0.4), (121, 20, 0.4),
+    ]
+    for hits, sl, want in cases:
+        got = interpolate_epsilon(hits, sl, 0.4, 100)
+        assert abs(got - want) < 1e-12, (hits, sl, got, want)
+
+
+def test_cluster_config_parse_reference_shape():
+    """ClusterConfigTest.testClusterConfigParseFromJsonObject."""
+    cfg = ClusterConfig.from_dict(
+        {
+            "clusterMoreRecords": 200,
+            "strategies": [
+                {
+                    "clusteringEps": 0.3,
+                    "clusteringMinPoints": 3,
+                    "fields": {
+                        "dcterms:title": {"fieldname": "dcterms:title", "weight": 0.3},
+                        "dcterms:creator": {
+                            "fieldname": "dcterms:creator",
+                            "filterValue": "b",
+                            "weight": 0.7,
+                        },
+                    },
+                },
+                {
+                    "clusteringEps": 0.4,
+                    "clusteringMinPoints": 2,
+                    "fields": {
+                        "dcterms:title": {
+                            "fieldname": "dcterms:title",
+                            "filterValue": "a",
+                            "weight": 0.4,
+                        },
+                        "dcterms:creator": {"fieldname": "dcterms:creator", "weight": 0.6},
+                        "dcterms:subject": {"fieldname": "dcterms:subject", "weight": 0.0},
+                    },
+                },
+            ],
+        }
+    )
+    assert cfg.cluster_more_records == 200
+    s0, s1 = cfg.strategies
+    assert (s0.clustering_eps, s0.clustering_min_points) == (0.3, 3)
+    assert [(f.fieldname, f.filter_value, f.weight) for f in s0.fields] == [
+        ("dcterms:title", None, 0.3),
+        ("dcterms:creator", "b", 0.7),
+    ]
+    assert (s1.clustering_eps, s1.clustering_min_points) == (0.4, 2)
+    # weight-0.0 field skipped
+    assert [f.fieldname for f in s1.fields] == ["dcterms:title", "dcterms:creator"]
