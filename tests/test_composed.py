@@ -225,3 +225,91 @@ def test_export_keys(cores):
     # round-trip serialization (exportKeys wire format analog)
     packed = kb.pack()
     assert KeyBits.unpack(packed, KEY_SPACE).materialize().tolist() == kb.materialize().tolist()
+
+
+def test_join_query_three_cores(cores):
+    """testJoinQueryThreeCores (MultiLuceneTest): result core filtered by
+    BOTH other cores' filter queries simultaneously."""
+    res = cores.execute(
+        _cq(
+            queries={"coreA": MatchAllQ()},
+            filter_queries={
+                "coreB": [DocValEqQ("N", "true")],
+                "coreC": [DocValEqQ("R", "true")],
+            },
+        )
+    )
+    # B.N=true keys: {5,6,7,10,11,12}; C.R=true keys: {5,7}
+    # A docs keyed 5 or 7 → A-M (5), A-MQ (7)
+    assert sorted(res.ids()) == ["A-M", "A-MQ"]
+
+
+def test_join_query_on_optional_key(ray_session, tmp_path, cores):
+    """testJoinQueryOnOptionalKey: docs with a NULL key never match a key
+    filter (and never crash the int cast path)."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "__id__": ["d0", "d1", "d2"],
+            "text": ["word", "word", "word"],
+            "key": pa.array([1, None, 2], type=pa.int64()),
+        }
+    )
+    d = str(tmp_path / "optkey")
+    build_index(
+        rd.from_arrow(t),
+        d,
+        IndexConfig(text_col="text", id_col="__id__", stored_cols=("key",), num_shards=1),
+    )
+    s = IndexSearcher(d, num_actors=1, num_cpus=0.25)
+    ms = MultiSearcher({"main": s, "other": cores.cores["coreB"]}, KEY_SPACE)
+    cq = ComposedQuery(
+        result_core="main",
+        matches={("main", "other"): ("key", "key")},
+        queries={"main": TermQ("word"), "other": MatchAllQ()},
+        stop=10,
+    )
+    res = ms.execute(cq)
+    # d1's NULL key matches nothing (and doesn't crash the int cast path);
+    # the others match iff their key exists in coreB (keys 5..12)
+    b_keys = {r[1] for r in B_ROWS}
+    expect = sorted(
+        i for i, k in (("d0", 1), ("d2", 2)) if k in b_keys
+    )
+    assert sorted(res.ids()) == expect
+
+
+def test_key_filter_ignores_out_of_bounds_keys(ray_session, tmp_path):
+    """testKeyFilterIgnoresKeysOutOfBoundsOfKeySet: key values beyond the
+    bitset length are silently non-matching."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.query import KeyFilterQ
+
+    t = pa.table(
+        {
+            "__id__": ["in", "out"],
+            "text": ["word", "word"],
+            "key": pa.array([2, 1000], type=pa.int64()),  # 1000 >> bitset size
+        }
+    )
+    d = str(tmp_path / "oob")
+    build_index(
+        rd.from_arrow(t),
+        d,
+        IndexConfig(text_col="text", id_col="__id__", stored_cols=("key",), num_shards=1),
+    )
+    s = IndexSearcher(d, num_actors=1, num_cpus=0.25)
+    bits = np.zeros(8, dtype=bool)
+    bits[2] = True
+    from meresco_lucene_ray.query import BoolQ
+
+    res = s.execute(BoolQ(must=(TermQ("word"),), filter=(KeyFilterQ("key", bits),)), stop=10)
+    assert res.ids() == ["in"]
+    # inverted: out-of-bounds keys DO pass an exclusion (they're not in the set)
+    res2 = s.execute(
+        BoolQ(must=(TermQ("word"),), filter=(KeyFilterQ("key", bits, inverted=True),)),
+        stop=10,
+    )
+    assert res2.ids() == ["out"]
