@@ -109,20 +109,26 @@ class MultiSearcher:
             )
         return q
 
+    def _clustering_active(self, cq: ComposedQuery, searcher) -> bool:
+        """True when clustering will actually run: flag on, a config (query
+        or MultiSearcher default — LuceneSettings.clusterConfig), and a
+        term-vector source.  Clustering WINS over dedup/grouping
+        (Lucene.java executeQuery routes to clusterTopDocsResponse INSTEAD
+        of the dedup collector — testClusteringWinsOverGroupingAndDedup)."""
+        return (
+            cq.clustering
+            and (cq.cluster_config or self.cluster_config) is not None
+            and (searcher.termvectors_fn is not None or searcher.has_stored_termvectors())
+        )
+
     def _maybe_cluster(self, cq: ComposedQuery, searcher, final_q, res) -> None:
         """Attach ClusterHits when ``cq.clustering`` is on
-        (clusterTopDocsResponse, Lucene.java:365-414).  The config falls
-        back to the MultiSearcher-level default (LuceneSettings
-        .clusterConfig) and the term vectors come from the searcher's
-        registered provider; with neither, the flag is a no-op — exactly
-        the reference's null-clusterConfig behavior (Lucene.java:257-266)."""
-        if not cq.clustering:
+        (clusterTopDocsResponse, Lucene.java:365-414).  With no config or
+        no term-vector source, the flag is a no-op — exactly the
+        reference's null-clusterConfig behavior (Lucene.java:257-266)."""
+        if not self._clustering_active(cq, searcher):
             return
         config = cq.cluster_config or self.cluster_config
-        if config is None or (
-            searcher.termvectors_fn is None and not searcher.has_stored_termvectors()
-        ):
-            return
         _total, hits = searcher.cluster_top_docs(
             final_q,
             config,
@@ -169,7 +175,7 @@ class MultiSearcher:
                 stop=cq.stop,
                 facets=_facet_specs(cq.facets.get(result_core, ())),
                 sort=[(f, d, None) for _, f, d in sort_keys] or None,
-                dedup_field=cq.dedup_field,
+                dedup_field=None if self._clustering_active(cq, searcher) else cq.dedup_field,
                 dedup_sort_field=cq.dedup_sort_field,
                 suggestion_request=cq.suggestion_request,
             )
@@ -301,7 +307,7 @@ class MultiSearcher:
             rank_adjust=rank_adjust,
             join_cols=join_cols or None,
             sort=sort or None,
-            dedup_field=cq.dedup_field,
+            dedup_field=None if self._clustering_active(cq, searcher) else cq.dedup_field,
             dedup_sort_field=cq.dedup_sort_field,
             suggestion_request=cq.suggestion_request,
         )

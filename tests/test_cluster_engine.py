@@ -146,3 +146,19 @@ def test_stored_termvectors_cluster_without_provider(ray_session, tmp_path):
     cq.clustering = True
     res = ms.execute(cq)
     assert res.cluster_hits is not None and len(res.cluster_hits) == 3
+
+
+def test_clustering_wins_over_dedup(searcher):
+    """testClusteringWinsOverGroupingAndDedup: with clustering active the
+    dedup collector is NOT applied (the reference routes to
+    clusterTopDocsResponse instead of the dedup path)."""
+    from meresco_lucene_ray.join import ComposedQuery, MultiSearcher
+
+    ms = MultiSearcher({"core": searcher}, 16, cluster_config=_config())
+    cq = ComposedQuery(result_core="core", queries={"core": TermQ("common")}, stop=3)
+    cq.clustering = True
+    cq.dedup_field = "key"  # every doc a distinct key — dedup would page differently
+    res = ms.execute(cq)
+    assert res.cluster_hits is not None and len(res.cluster_hits) == 3
+    # dedup suppressed: no dedup bookkeeping on the response
+    assert res.total_with_duplicates is None
