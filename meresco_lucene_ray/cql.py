@@ -7,14 +7,29 @@ observable behaviors:
 
 - unqualified term → term query on the default text field; a configured
   ``unqualified_fields=[(field, boost), ...]`` list expands it into a
-  SHOULD-boolean of boosted per-field queries (:95-116);
-- trailing ``*`` → prefix query (:158-168);
-- multi-word / quoted value → phrase query fallback (:170-183);
+  SHOULD-boolean of boosted per-field queries (:107-125); unqualified ``*``
+  stays a single MatchAll before expansion (:108-109);
+- trailing ``*`` after ≥2 word chars → prefix query (prefixRegexp :257,
+  :154-155); a single-char or multi-star value degrades to a term query;
+- the magic literal ``???*`` → wildcard query (:167-168);
+- multi-word / quoted value → phrase query fallback (:169-172); a value whose
+  tokens are all analyzed away yields an EMPTY phrase (matches nothing), and
+  empty clauses are dropped from enclosing booleans (_isEmptyQuery :225-228);
 - ``field exact value`` / ``field == value`` → untokenized keyword equality
-  (DocValEqQ) (:139-150);
-- range relations ``< <= > >=`` on numeric fields → RangeQ (:200-214);
-- AND / OR / NOT boolean composition with parentheses (:84-93);
-- ``^boost`` suffix carries a boost onto the clause (:118-127).
+  (DocValEqQ) (:135-137);
+- range relations ``< <= > >=`` on numeric fields → RangeQ; numeric equality
+  → a [v, v] both-inclusive range (_termRangeQuery :174-185);
+- registered distance fields parse ``lat,lon,radius-km`` → GeoDistanceQ with
+  the km→m multiplier (_distanceQuery :187-198, RADIUS_MULTIPLIER :252);
+- hierarchical drilldown fields split values on ``>`` → PathPrefixQ
+  (_createStringTerm :216-223);
+- AND / OR / NOT boolean composition with parentheses (:94-105); a top-level
+  ``must_not`` expression is wrapped as ``AND('*', expr)`` (convert :61-65);
+- ``^boost`` suffix and the ``=/boost=N`` relation modifier carry a boost
+  onto the clause (:143-144);
+- optional Dutch-stemming post-analysis expands a single term into
+  OR(original, stem), phrase terms excluded, with an ignore list
+  (_post_analyzeToken :206-211; MerescoDutchStemmingAnalyzer semantics).
 
 This is a deliberately frozen subset grammar, parsed by a small
 recursive-descent parser (the reference delegates parsing to the external
@@ -26,21 +41,34 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .analysis import tokenize
-from .query.ast import BoolQ, DocValEqQ, MatchAllQ, PhraseQ, PrefixQ, RangeQ, TermQ
+from .analysis import dutch_stem, tokenize
+from .query.ast import (
+    BoolQ,
+    DocValEqQ,
+    GeoDistanceQ,
+    MatchAllQ,
+    PathPrefixQ,
+    PhraseQ,
+    PrefixQ,
+    RangeQ,
+    TermQ,
+    WildcardQ,
+)
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
         (?P<quoted>"(?:[^"\\]|\\.)*") |
-        (?P<op><=|>=|==|=|<|>) |
+        (?P<op>(?:<>|<=|>=|==|=|<|>)(?:/boost=\d+(?:\.\d+)?)?) |
         (?P<word>[^\s()<>=]+)
     )""",
     re.X,
 )
 
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+# prefix queries need >= 2 leading word chars (prefixRegexp, reference :257)
+_PREFIX_RE = re.compile(r"^([\w-]{2,})\*$")
 
 
 @dataclass
@@ -54,6 +82,16 @@ class CqlConfig:
     # reference): unknown qualified fields become keyword equality instead
     # of raising
     strict: bool = True
+    # FieldRegistry "Distance" query type (_distanceQuery :187-198):
+    # pseudo-field -> (lat_col, lon_col) stored columns
+    distance_fields: dict = field(default_factory=dict)
+    # hierarchical drilldown fields: '=' splits the value on '>' into a
+    # facet path (_createStringTerm :216-223)
+    drilldown_cols: frozenset[str] = frozenset()
+    # Dutch-stemming post-analysis (MerescoDutchStemmingAnalyzer.post_analyse):
+    # None = off; frozenset() = all text fields; non-empty = only those fields
+    dutch_stem_fields: frozenset[str] | None = None
+    ignore_stemming_for_words: frozenset[str] = frozenset()
 
 
 @dataclass
@@ -181,14 +219,18 @@ class _Parser:
         if kind != "word":
             raise CqlParseError(f"unexpected token {v!r}")
         nkind, nval = self.peek()
-        if nkind == "op":
+        if nkind == "op" or (nkind, nval) == ("word", "exact"):
             self.next()
+            boost = 1.0
+            if nkind == "op" and "/boost=" in nval:
+                # '=/boost=2.0' relation modifier (reference :143-144)
+                nval, bs = nval.split("/boost=", 1)
+                boost = float(bs)
             vkind, vval = self.next()
             if vkind == "quoted":
                 vval = vval[1:-1].replace('\\"', '"')
             elif vkind != "word":
                 raise CqlParseError(f"expected value after relation, got {vval!r}")
-            boost = 1.0
             m = _BOOST_RE.search(vval)
             if m and nval in ("=", "=="):
                 boost = float(m.group(1))
@@ -211,25 +253,80 @@ def cql_to_expression(expression: str) -> QueryExpression:
     return _Parser(toks).parse()
 
 
+_SUPPORTED_RELATIONS = ("=", "==", "exact", ">", ">=", "<=", "<")
+
+
 def _relation_q(cfg: CqlConfig, fieldname: str, op: str, value: str, boost: float):
-    if op in ("<", "<=", ">", ">="):
-        if fieldname not in cfg.numeric_cols and cfg.strict:
-            raise CqlParseError(f"range on non-numeric field {fieldname!r}")
-        num = float(value) if "." in value else int(value)
+    if op not in _SUPPORTED_RELATIONS:
+        # UnsupportedCQL analog (reference :129-130) — e.g. '<>'
+        raise CqlParseError(f"{op!r} not supported for the field {fieldname!r}")
+    if fieldname in cfg.distance_fields:
+        return _distance_q(cfg, fieldname, op, value, boost)
+    if fieldname in cfg.numeric_cols:
+        # registry Int/Long/Double fields route ALL relations through range
+        # queries; equality is a [v, v] both-inclusive range (:174-185)
+        if isinstance(value, str):
+            num = float(value) if "." in value else int(value)
+        else:
+            num = value  # the expression API passes typed terms through
+        if op in ("=", "==", "exact"):
+            return RangeQ(
+                fieldname, lo=num, hi=num, include_lo=True, include_hi=True, boost=boost
+            )
         lo, hi = (num, None) if op in (">", ">=") else (None, num)
         return RangeQ(
-            fieldname, lo=lo, hi=hi, include_lo=(op == ">="), include_hi=(op == "<=")
+            fieldname,
+            lo=lo,
+            hi=hi,
+            include_lo=(op == ">=" or lo is None),
+            include_hi=(op == "<=" or hi is None),
+            boost=boost,
         )
-    if op == "==" or fieldname in cfg.keyword_cols:
-        if fieldname in cfg.numeric_cols:
-            value = float(value) if "." in value else int(value)
+    if op in ("<", "<=", ">", ">="):
+        if cfg.strict:
+            raise CqlParseError(f"range on non-numeric field {fieldname!r}")
+        lo, hi = (value, None) if op in (">", ">=") else (None, value)
+        return RangeQ(
+            fieldname,
+            lo=lo,
+            hi=hi,
+            include_lo=(op == ">=" or lo is None),
+            include_hi=(op == "<=" or hi is None),
+            boost=boost,
+        )
+    if fieldname in cfg.drilldown_cols:
+        # hierarchical drilldown: '>'-separated path (:216-223)
+        return PathPrefixQ(fieldname, tuple(value.split(">")), boost=boost)
+    if op in ("==", "exact") or fieldname in cfg.keyword_cols:
         return DocValEqQ(fieldname, value, boost=boost)
     return _field_q(cfg, fieldname, value, boost)
 
 
+def _distance_q(cfg: CqlConfig, fieldname: str, op: str, value: str, boost: float):
+    """``lat,lon,radius-km`` → GeoDistanceQ (_distanceQuery :187-198)."""
+    if op not in ("=", "==", "exact"):
+        raise CqlParseError(
+            f"unsupported relation {op!r} for {fieldname!r}, expected '='"
+        )
+    parts = value.split(",")
+    if len(parts) != 3:
+        raise CqlParseError(
+            f"unsupported format for {fieldname!r}, expected lat,lon,radius-km"
+        )
+    try:
+        lat, lon, radius = (float(p) for p in parts)
+    except ValueError:
+        raise CqlParseError(
+            f"unsupported format for {fieldname!r}, expected lat,lon,radius-km"
+        )
+    lat_col, lon_col = cfg.distance_fields[fieldname]
+    # radius is given in km, the query wants meters (RADIUS_MULTIPLIER :252)
+    return GeoDistanceQ(lat_col, lon_col, lat, lon, radius * 1000.0, boost=boost)
+
+
 def _field_q(cfg: CqlConfig, fieldname: str, value: str, boost: float):
     if fieldname == cfg.text_col:
-        return _text_q(value, boost)
+        return _text_q(cfg, fieldname, value, boost)
     if fieldname in cfg.keyword_cols:
         return DocValEqQ(fieldname, value, boost=boost)
     if not cfg.strict:
@@ -238,22 +335,48 @@ def _field_q(cfg: CqlConfig, fieldname: str, value: str, boost: float):
     raise CqlParseError(f"unknown field {fieldname!r}")
 
 
-def _text_q(value: str, boost: float):
-    if value == "*":
-        return MatchAllQ(boost=boost)
-    if value.endswith("*"):
-        toks = tokenize(value[:-1])
-        if len(toks) == 1:
-            return PrefixQ(toks[0], boost=boost)  # prefix detection (:158-168)
+def _post_analyzed_term(cfg: CqlConfig, fieldname: str, token: str, boost: float):
+    """Single analyzed token → term query, optionally expanded to
+    OR(original, stem) by Dutch-stemming post-analysis — the reference's
+    _post_analyzeToken (:206-211) with MerescoDutchStemmingAnalyzer
+    semantics (stem applies per configured field; phrase terms never
+    stem; ignoreStemmingForWords bypasses)."""
+    if cfg.dutch_stem_fields is None or token in cfg.ignore_stemming_for_words:
+        return TermQ(token, boost=boost)
+    if cfg.dutch_stem_fields and fieldname not in cfg.dutch_stem_fields:
+        return TermQ(token, boost=boost)
+    stem = dutch_stem(token)
+    if stem == token:
+        return TermQ(token, boost=boost)
+    return BoolQ(should=(TermQ(token, boost=boost), TermQ(stem, boost=boost)))
+
+
+def _text_q(cfg: CqlConfig, fieldname: str, value: str, boost: float):
+    """_determineQuery (:151-172): analyze, then prefix / term / wildcard /
+    phrase.  A value whose tokens all analyze away becomes an EMPTY phrase
+    (matches nothing) so enclosing booleans can drop it (:225-228)."""
     toks = tokenize(value)
-    if not toks:
-        return MatchAllQ(boost=boost)
     if len(toks) == 1:
-        return TermQ(toks[0], boost=boost)
-    return PhraseQ(tuple(toks), boost=boost)  # phrase fallback (:170-183)
+        if _PREFIX_RE.match(value):
+            return PrefixQ(toks[0], boost=boost)  # prefixRegexp (:154-155, :257)
+        return _post_analyzed_term(cfg, fieldname, toks[0], boost)
+    if value == "???*":  # the reference's magic wildcard literal (:167-168)
+        return WildcardQ(value, boost=boost)
+    return PhraseQ(tuple(toks), boost=boost)  # phrase fallback, may be empty
 
 
-def expression_to_query(e: QueryExpression, cfg: CqlConfig | None = None, composed=None):
+def is_empty_query(q) -> bool:
+    """_isEmptyQuery (:225-228): analyzed-away phrase or clause-less boolean."""
+    if isinstance(q, PhraseQ) and not q.terms:
+        return True
+    if isinstance(q, BoolQ) and not (q.must or q.should or q.must_not or q.filter):
+        return True
+    return False
+
+
+def expression_to_query(
+    e: QueryExpression, cfg: CqlConfig | None = None, composed=None, _inner=False
+):
     """Convert a ``QueryExpression`` tree into the engine query AST —
     the queryexpressiontolucenequerydict conversion semantics.
 
@@ -265,26 +388,50 @@ def expression_to_query(e: QueryExpression, cfg: CqlConfig | None = None, compos
     clauses work ANYWHERE in the boolean tree (beyond the extract-filters
     AND-only path)."""
     cfg = cfg or CqlConfig()
+    if e.must_not and not _inner:
+        # top-level NOT wraps as AND('*', expr) (convert :61-65)
+        inner = expression_to_query(e, cfg, composed, _inner=True)
+        return BoolQ(must=(MatchAllQ(),), must_not=(inner,))
     if e.operator == "OR":
-        parts = tuple(expression_to_query(o, cfg, composed) for o in e.operands)
+        parts = tuple(
+            q
+            for o in e.operands
+            if not is_empty_query(q := expression_to_query(o, cfg, composed, _inner=True))
+        )
         return parts[0] if len(parts) == 1 else BoolQ(should=parts)
     if e.operator == "AND":
         must = tuple(
-            expression_to_query(o, cfg, composed) for o in e.operands if not o.must_not
+            q
+            for o in e.operands
+            if not o.must_not
+            and not is_empty_query(q := expression_to_query(o, cfg, composed, _inner=True))
         )
         must_not = tuple(
-            expression_to_query(o, cfg, composed) for o in e.operands if o.must_not
+            q
+            for o in e.operands
+            if o.must_not
+            and not is_empty_query(q := expression_to_query(o, cfg, composed, _inner=True))
         )
         if len(must) == 1 and not must_not:
             return must[0]
         return BoolQ(must=must, must_not=must_not)
     if e.index is None:
+        if e.term == "*":
+            # unqualified '*' stays one MatchAll, before expansion (:108-109)
+            return MatchAllQ(boost=e.boost)
         if cfg.unqualified_fields and not e.quoted:
+            if len(cfg.unqualified_fields) == 1:
+                # single unqualified field returns directly — even when the
+                # term analyzes away to an empty phrase (:117-118)
+                f, b = cfg.unqualified_fields[0]
+                return _field_q(cfg, f, e.term, b * e.boost)
             subs = tuple(
-                _field_q(cfg, f, e.term, b * e.boost) for f, b in cfg.unqualified_fields
+                q
+                for f, b in cfg.unqualified_fields
+                if not is_empty_query(q := _field_q(cfg, f, e.term, b * e.boost))
             )
             return subs[0] if len(subs) == 1 else BoolQ(should=subs, boost=1.0)
-        return _text_q(e.term, e.boost)
+        return _text_q(cfg, cfg.text_col, e.term, e.boost)
     if composed is not None and "." in e.index:
         core, tail = e.index.split(".", 1)
         other_cores = {c for pair in composed.matches for c in pair} - {composed.result_core}

@@ -282,6 +282,10 @@ class SegmentSearcher:
         n = self.n
         mask = np.zeros(n, dtype=bool)
         scores = np.zeros(n)
+        if not q.terms:
+            # analyzed-away phrase (e.g. ':;+') matches nothing, mirroring an
+            # empty Lucene PhraseQuery (queryexpressiontolucenequerydict.py:225-228)
+            return mask, scores
         plists = []
         for t in q.terms:
             p = self.postings_local(t)
@@ -389,6 +393,10 @@ class SegmentSearcher:
         n = self.n
         mask = None
         scores = np.zeros(n)
+        if not (q.must or q.should or q.filter):
+            # a BooleanQuery without positive clauses matches nothing in
+            # Lucene (incl. the all-clauses-dropped empty boolean)
+            return np.zeros(n, dtype=bool), scores
         if (
             len(q.must) >= 2
             and all(isinstance(c, TermQ) for c in q.must)

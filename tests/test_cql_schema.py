@@ -49,11 +49,13 @@ def test_keyword_eq():
 
 
 def test_range():
+    # absent bounds are flagged inclusive, mirroring _termRangeQuery's
+    # `includeLower = relation == '>=' or lowerTerm is None` (:184)
     assert cql_to_query("n_chars >= 100", CFG) == RangeQ(
-        "n_chars", lo=100, hi=None, include_lo=True, include_hi=False
+        "n_chars", lo=100, hi=None, include_lo=True, include_hi=True
     )
     assert cql_to_query("n_chars < 300", CFG) == RangeQ(
-        "n_chars", lo=None, hi=300, include_lo=False, include_hi=False
+        "n_chars", lo=None, hi=300, include_lo=True, include_hi=False
     )
 
 
