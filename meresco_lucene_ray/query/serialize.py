@@ -32,59 +32,88 @@ from .ast import (
     WildcardQ,
 )
 
-_TYPES = {
-    c.__name__: c
-    for c in (
-        MatchAllQ,
-        TermQ,
-        PhraseQ,
-        PrefixQ,
-        WildcardQ,
-        RangeQ,
-        DocValEqQ,
-        PathPrefixQ,
-        GeoDistanceQ,
-        KeyFilterQ,
-        BoolQ,
-    )
-}
+def _node_types():
+    from ..join.relational import RelAnd, RelLeaf, RelNot, RelOr
+    from .ast import RelationalQ
+
+    return {
+        c.__name__: c
+        for c in (
+            MatchAllQ,
+            TermQ,
+            PhraseQ,
+            PrefixQ,
+            WildcardQ,
+            RangeQ,
+            DocValEqQ,
+            PathPrefixQ,
+            GeoDistanceQ,
+            KeyFilterQ,
+            BoolQ,
+            RelationalQ,
+            RelLeaf,
+            RelAnd,
+            RelOr,
+            RelNot,
+        )
+    }
+
+
+_TYPES: dict[str, Any] = {}
+
+
+def _types() -> dict[str, Any]:
+    if not _TYPES:
+        _TYPES.update(_node_types())
+    return _TYPES
 
 
 def query_to_dict(q) -> dict[str, Any]:
+    types = _types()
     t = type(q).__name__
-    if t not in _TYPES:
+    if t not in types:
         raise TypeError(f"not a query node: {q!r}")
     out: dict[str, Any] = {"type": t}
     for f in fields(q):
         v = getattr(q, f.name)
-        if t == "BoolQ" and f.name in ("must", "should", "must_not", "filter"):
-            out[f.name] = [query_to_dict(sub) for sub in v]
-        elif t == "KeyFilterQ" and f.name == "bitset":
+        if t == "KeyFilterQ" and f.name == "bitset":
             bits = np.asarray(v, dtype=bool)
             out["bitset_b64"] = base64.b64encode(np.packbits(bits).tobytes()).decode()
             out["bitset_size"] = int(bits.size)
+        elif type(v).__name__ in types:
+            out[f.name] = query_to_dict(v)  # nested node (Rel*/RelationalQ)
         elif isinstance(v, tuple):
-            out[f.name] = list(v)
+            out[f.name] = [
+                query_to_dict(e) if type(e).__name__ in types else e for e in v
+            ]
         else:
             out[f.name] = v
     return out
 
 
 def query_from_dict(d: dict[str, Any]):
+    types = _types()
     t = d["type"]
-    cls = _TYPES[t]
+    cls = types[t]
     kwargs: dict[str, Any] = {}
     for f in fields(cls):
-        if t == "BoolQ" and f.name in ("must", "should", "must_not", "filter"):
-            kwargs[f.name] = tuple(query_from_dict(sub) for sub in d.get(f.name, []))
-        elif t == "KeyFilterQ" and f.name == "bitset":
+        if t == "KeyFilterQ" and f.name == "bitset":
             raw = base64.b64decode(d["bitset_b64"])
             kwargs["bitset"] = np.unpackbits(
                 np.frombuffer(raw, dtype=np.uint8), count=d["bitset_size"]
             ).astype(bool)
         elif f.name in d:
             v = d[f.name]
-            if isinstance(v, list) and f.type.startswith("tuple"):
-                v = tuple(v)
+            if isinstance(v, dict) and v.get("type") in types:
+                v = query_from_dict(v)
+            elif isinstance(v, list):
+                v = [
+                    query_from_dict(e)
+                    if isinstance(e, dict) and e.get("type") in types
+                    else e
+                    for e in v
+                ]
+                if f.type.startswith("tuple"):
+                    v = tuple(v)
             kwargs[f.name] = v
     return cls(**kwargs)

@@ -132,3 +132,35 @@ def test_roundtrip_preserves_search_results(runner, ray_session):
     r2 = searchers["A"].execute(q2, stop=10)
     assert r1.ids() == r2.ids()
     assert r1.hits["score"].to_pylist() == r2.hits["score"].to_pylist()
+
+
+def test_relational_wire_roundtrip():
+    # Rel* nodes (incl. nested query ASTs) survive the JSON wire format
+    expr = RelAnd(
+        RelLeaf("A", "key", "key", DocValEqQ("M", "true")),
+        RelNot(RelLeaf("B", "key", "key", BoolQ(must=(TermQ("doc"),)))),
+    )
+    d = json.loads(json.dumps(query_to_dict(expr)))
+    assert query_from_dict(d) == expr
+
+
+def test_relational_filter_json_in_composed(runner):
+    # relationalFilterJson: the JSON-string wire form parses at execute time
+    # (ComposedQuery.relationalFilterJson, MultiLucene.java:100-116)
+    r, searchers = runner
+    ms = MultiSearcher(searchers, KEY_SPACE)
+    expr = RelAnd(
+        RelLeaf("A", "key", "key", DocValEqQ("M", "true")),
+        RelLeaf("B", "key", "key", DocValEqQ("N", "true")),
+    )
+    cq = ComposedQuery(
+        result_core="A",
+        queries={"A": MatchAllQ()},
+        matches={("A", "B"): ("key", "key")},
+        relational_filter_json=json.dumps(query_to_dict(expr)),
+        stop=20,
+    )
+    cq.validate()
+    res = ms.execute(cq)
+    want_keys = {k for _, k, m in A if m == "true"} & {k for _, k, n in B if n == "true"}
+    assert sorted(res.ids()) == sorted(i for i, k, _ in A if k in want_keys)
