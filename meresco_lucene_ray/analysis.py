@@ -229,26 +229,66 @@ def dutch_stem(word: str) -> str:
     return word.replace("Y", "y").replace("I", "i")
 
 
-_CLASSIC_TOKEN_RE = re.compile(r"[a-z0-9_](?:[a-z0-9_.']*[a-z0-9_])?", re.IGNORECASE)
-_ACRONYM_RE = re.compile(r"^(?:[a-z]\.)+[a-z]?\.?$", re.IGNORECASE)
+# ---- ClassicTokenizer grammar (Lucene ClassicTokenizerImpl.jflex) ----------
+# L = letter, _AN = letter|digit run (underscore is a NUM separator, not part
+# of ALPHANUM), _D = alphanum containing a digit, _P = NUM separators.
+_L = r"[^\W\d_]"
+_AN = r"[^\W_]+"
+_D = r"[^\W_]*\d[^\W_]*"
+_P = r"[-_/.,]"
+# rule order = the jflex listing order (tie-break); longest match wins
+_CLASSIC_RULES: list[tuple[str, re.Pattern]] = [
+    ("ALPHANUM", re.compile(_AN)),
+    ("APOSTROPHE", re.compile(rf"{_L}+(?:'{_L}+)+")),
+    ("ACRONYM", re.compile(rf"{_L}\.(?:{_L}\.)+")),
+    ("COMPANY", re.compile(rf"{_L}+[&@]{_L}+")),
+    ("EMAIL", re.compile(rf"{_AN}(?:[-._]{_AN})*@{_AN}(?:[-.]{_AN})+")),
+    ("HOST", re.compile(rf"{_AN}(?:\.{_AN})+")),
+    # NUM: P-separated segments where every other segment contains a digit
+    ("NUM", re.compile(
+        rf"(?:{_AN}(?:{_P}{_D}{_P}{_AN})*{_P}{_D}(?:{_P}{_AN})?"
+        rf"|{_D}(?:{_P}{_AN}{_P}{_D})*{_P}{_AN}(?:{_P}{_D})?)"
+    )),
+]
+
+
+def classic_scan(text: str):
+    """Longest-match scan yielding ``(token_type, token)`` pairs — the
+    ClassicTokenizer state machine re-expressed as prioritized regexes."""
+    pos, n = 0, len(text)
+    while pos < n:
+        best_key, best = None, None
+        for prio, (ttype, rx) in enumerate(_CLASSIC_RULES):
+            m = rx.match(text, pos)
+            if m and m.end() > pos:
+                key = (m.end() - pos, -prio)
+                if best_key is None or key > best_key:
+                    best_key, best = key, (ttype, m.group(0))
+        if best is None:
+            pos += 1
+            continue
+        yield best
+        pos += best_key[0]
 
 
 def tokenize_classic(text: str | None) -> list[str]:
-    """ClassicTokenizer + ClassicFilter analog (MerescoStandardAnalyzer.java:
-    53-70): tokens keep internal apostrophes/dots, then the filter strips
-    possessive ``'s`` and removes dots from acronyms (I.B.M. → ibm, John's →
-    john), then lowercases.  Opt-in via ``IndexConfig(analyzer='classic')`` —
-    the frozen default spec (shared with the SQL oracle) is untouched."""
+    """ClassicTokenizer → ClassicFilter → ASCIIFoldingFilter → LowerCase —
+    the full MerescoStandardAnalyzer chain (MerescoStandardAnalyzer.java:
+    53-70).  Token types follow the Classic grammar: product numbers
+    (``oc-0123``, ``p.435-444``) and emails/hosts/AT&T-style names stay one
+    token; the filter strips possessive ``'s`` from APOSTROPHE tokens and
+    dots from ACRONYM tokens (I.B.M. → ibm, John's → john).  Opt-in via
+    ``IndexConfig(analyzer='classic')`` — the frozen default spec (shared
+    with the SQL oracle) is untouched."""
     if not text:
         return []
     out: list[str] = []
-    for m in _CLASSIC_TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        if tok.lower().endswith("'s"):
-            tok = tok[:-2]  # APOSTROPHE: strip possessive (ClassicFilter)
-        if _ACRONYM_RE.match(tok) or _ACRONYM_RE.match(tok + "."):
-            tok = tok.replace(".", "")  # ACRONYM: strip dots (ClassicFilter)
-        tok = tok.lower()
+    for ttype, tok in classic_scan(text):
+        if ttype == "APOSTROPHE" and tok.lower().endswith("'s"):
+            tok = tok[:-2]  # ClassicFilter possessive strip
+        elif ttype == "ACRONYM":
+            tok = tok.replace(".", "")  # ClassicFilter acronym-dot strip
+        tok = fold_ascii(tok).lower()
         if tok:
             out.append(tok)
     return out

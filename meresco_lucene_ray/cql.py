@@ -41,7 +41,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .analysis import dutch_stem, tokenize
+from .analysis import dutch_stem, tokenize, tokenize_classic, tokenize_whitespace
 from .query.ast import (
     BoolQ,
     DocValEqQ,
@@ -92,6 +92,16 @@ class CqlConfig:
     # None = off; frozenset() = all text fields; non-empty = only those fields
     dutch_stem_fields: frozenset[str] | None = None
     ignore_stemming_for_words: frozenset[str] = frozenset()
+    # query-side analyzer, matching the index build's IndexConfig.analyzer
+    # ("standard" frozen spec | "whitespace" | "classic")
+    analyzer: str = "standard"
+
+    def tokenize_fn(self):
+        return {
+            "standard": tokenize,
+            "whitespace": tokenize_whitespace,
+            "classic": tokenize_classic,
+        }[self.analyzer]
 
 
 @dataclass
@@ -355,7 +365,7 @@ def _text_q(cfg: CqlConfig, fieldname: str, value: str, boost: float):
     """_determineQuery (:151-172): analyze, then prefix / term / wildcard /
     phrase.  A value whose tokens all analyze away becomes an EMPTY phrase
     (matches nothing) so enclosing booleans can drop it (:225-228)."""
-    toks = tokenize(value)
+    toks = cfg.tokenize_fn()(value)
     if len(toks) == 1:
         if _PREFIX_RE.match(value):
             return PrefixQ(toks[0], boost=boost)  # prefixRegexp (:154-155, :257)

@@ -71,4 +71,24 @@ def test_classic_analyzer():
     assert tokenize_classic("the U.S.A. O'Neil's car") == ["the", "usa", "o'neil", "car"]
     assert tokenize_classic("") == []
     tok = make_tokenizer("classic")
-    assert tok(["I.B.M.'s plan"]) == [["ibm", "plan"]]
+    # grammar-faithful: "I.B.M.'s" is ACRONYM "I.B.M." + ALPHANUM "s"
+    # (APOSTROPHE requires letters before the quote), unlike "John's"
+    assert tok(["I.B.M.'s plan"]) == [["ibm", "s", "plan"]]
+
+
+def test_classic_tokenizer_grammar():
+    """ClassicTokenizer grammar edges (ClassicTokenizerImpl.jflex): product
+    numbers (NUM), emails, hosts, COMPANY names, and ASCII folding."""
+    from meresco_lucene_ray.analysis import classic_scan, tokenize_classic
+
+    assert tokenize_classic("oc-0123 part") == ["oc-0123", "part"]
+    assert tokenize_classic("p.435-444") == ["p.435-444"]
+    assert tokenize_classic("1-2-3-4 B2B 2B") == ["1-2-3-4", "b2b", "2b"]
+    assert tokenize_classic("AT&T you@me") == ["at&t", "you@me"]
+    assert tokenize_classic("bob@example.com mail") == ["bob@example.com", "mail"]
+    assert tokenize_classic("www.example.org site") == ["www.example.org", "site"]
+    assert tokenize_classic("21.35 price") == ["21.35", "price"]
+    assert tokenize_classic("café naïve") == ["cafe", "naive"]
+    # token types from the scanner itself
+    assert [t for t, _ in classic_scan("I.B.M. John's oc-0123 AT&T a@b.c x.y")] == [
+        "ACRONYM", "APOSTROPHE", "NUM", "COMPANY", "EMAIL", "HOST"]

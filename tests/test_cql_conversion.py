@@ -369,3 +369,20 @@ def test_per_query_unqualified_fields():  # testPerQueryUnqualifiedFields
     assert expression_to_query(e, cfg_b) == BoolQ(
         should=(TermQ("value", boost=2.0), DocValEqQ("anotherField", "value", boost=3.0))
     )
+
+
+def test_query_side_analyzer_selection():
+    """CqlConfig.analyzer matches the build-side IndexConfig.analyzer: the
+    same text analyzed with classic/whitespace yields different terms than
+    the frozen standard spec (MerescoStandardAnalyzer query parsing)."""
+    std = CqlConfig(text_col="field")
+    classic = CqlConfig(text_col="field", analyzer="classic")
+    ws = CqlConfig(text_col="field", analyzer="whitespace")
+    # standard splits AT&T into two terms -> phrase; classic keeps one token
+    assert cql_to_query('"AT&T"', std) == PhraseQ(("at", "t"))
+    assert cql_to_query('"AT&T"', classic) == TermQ("at&t", boost=1.0)
+    # product number: one NUM token under classic, phrase under standard
+    assert cql_to_query('"oc-0123"', classic) == TermQ("oc-0123", boost=1.0)
+    assert cql_to_query('"oc-0123"', std) == PhraseQ(("oc", "0123"))
+    # whitespace keeps case and punctuation
+    assert cql_to_query('"Foo.Bar"', ws) == TermQ("Foo.Bar", boost=1.0)
