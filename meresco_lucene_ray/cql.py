@@ -139,6 +139,35 @@ class QueryExpression:
         else:
             yield self.index
 
+    # ---- wire round-trip (cqlparser cqltoexpression asDict/fromDict) ----
+    def as_dict(self) -> dict:
+        d = {
+            "operator": self.operator,
+            "index": self.index,
+            "relation": self.relation,
+            "term": self.term,
+            "boost": self.boost,
+            "must_not": self.must_not,
+            "quoted": self.quoted,
+        }
+        if self.operator:
+            d["operands"] = [op.as_dict() for op in self.operands]
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QueryExpression":
+        ops = [cls.from_dict(o) for o in d.get("operands", [])]
+        return cls(
+            operator=d.get("operator"),
+            operands=ops,
+            index=d.get("index"),
+            relation=d.get("relation"),
+            term=d.get("term"),
+            boost=d.get("boost", 1.0),
+            must_not=d.get("must_not", False),
+            quoted=d.get("quoted", False),
+        )
+
 
 class CqlParseError(ValueError):
     pass

@@ -1,0 +1,176 @@
+"""Update-protocol document builders — field dicts/lists → wire documents.
+
+Re-expresses the reference's two document-assembly components without the
+Observable/Transaction plumbing (plain accumulators returning
+``(identifier, fields)`` instead of emitting ``addDocument`` upstream):
+
+- :class:`Fields2Doc` ← ``meresco/lucene/fields2lucenedoc.py:38-94``
+  (``Fields2LuceneDoc``): transaction-scoped ``{name: [values]}``
+  accumulator; first value wins for ``sorted.*`` fields; drilldown values
+  become FacetField paths (a list value IS the path, a scalar a 1-leaf
+  path); writing ``__id__`` directly is a protocol error.
+- :class:`FieldsListToDoc` ← ``meresco/lucene/fieldslisttolucenedocument.py:
+  35-66`` (``FieldsListToLuceneDocument``): ordered ``[(name, value)]``
+  lists through an optional per-field factory; empty drilldown paths are
+  dropped and facet leaf values truncate at 256 chars
+  (MAX_FACET_LEAF_VALUE_LENGTH); drilldown fields that also carry term
+  vectors are indexed too (``isIndexField``).
+
+``doc_to_row`` bridges a wire document onto this engine's columnar ingest
+(one Arrow row: text fields joined, facet paths as ``list<string>``) so a
+reference client's update stream can feed ``build_index`` directly.
+
+Exercised by ``tests/test_docwire.py`` mirroring
+``/root/reference/test/fields2lucenedoctest.py`` and
+``fieldslisttolucenedocumenttest.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+from .fieldregistry import IDFIELD, SORTED_PREFIX, FieldRegistry
+from .schema import MAX_FACET_LEAF_VALUE_LENGTH
+
+__all__ = ["Fields2Doc", "FieldsListToDoc", "doc_to_row"]
+
+
+class Fields2Doc:
+    """Accumulate ``add_field`` / ``add_facet_field`` calls, then ``commit``
+    into one wire document (fields2lucenedoc.py:38-94)."""
+
+    def __init__(
+        self,
+        field_registry: FieldRegistry,
+        identifier_rewrite: Callable[[str], str] | None = None,
+        rewrite_fields: Callable[[dict], dict] | None = None,
+    ) -> None:
+        self._registry = field_registry
+        self._identifier_rewrite = identifier_rewrite or (lambda i: i)
+        self._rewrite_fields = rewrite_fields or (lambda f: f)
+        self._fields: dict[str, list] = {}
+        self._facet_fields: dict[str, list] = {}
+
+    def add_field(self, name: str, value: Any) -> None:
+        values = self._fields.setdefault(name, [])
+        if name.startswith(SORTED_PREFIX) and values:
+            return  # only one sort value allowed (:55-57)
+        values.append(value)
+
+    def add_facet_field(self, name: str, value: Any) -> None:
+        self._facet_fields.setdefault(name, []).append(value)
+
+    def commit(self, identifier: str) -> tuple[str, list[dict]] | None:
+        """Drain the accumulator into ``(identifier, fields)``; None when
+        nothing was added (:64-67)."""
+        if not (self._fields or self._facet_fields):
+            return None
+        field_values = self._rewrite_fields(self._fields)
+        out = (
+            self._identifier_rewrite(identifier),
+            self.create_fields(field_values, self._facet_fields),
+        )
+        self._fields, self._facet_fields = {}, {}
+        return out
+
+    def create_fields(
+        self, field_values: dict[str, list], facet_fields: dict[str, list] | None = None
+    ) -> list[dict]:
+        """``_createFields`` (:77-94): every (name, value) pair becomes one
+        wire field; drilldown names render FacetField paths instead."""
+        fields: list[dict] = []
+        for name, values in list(field_values.items()) + list(
+            (facet_fields or {}).items()
+        ):
+            if self._registry.is_drilldown_field(name):
+                for value in values:
+                    path = (
+                        [str(c) for c in value]
+                        if isinstance(value, (list, tuple))
+                        else [str(value)]
+                    )
+                    fields.append(self._registry.create_facet_field(name, path))
+            else:
+                for value in values:
+                    if name == IDFIELD:
+                        raise ValueError(
+                            f"Field '{IDFIELD}' is protected and created by the engine"
+                        )
+                    fields.append(self._registry.create_field(name, value))
+        return fields
+
+
+def _identity_factory(fieldname: str, value: Any) -> Iterable[tuple[str, Any]]:
+    return [(fieldname, value)]
+
+
+class FieldsListToDoc:
+    """Ordered ``[(name, value)]`` → wire document
+    (fieldslisttolucenedocument.py:35-66)."""
+
+    def __init__(
+        self,
+        field_registry: FieldRegistry,
+        untokenized_fieldnames: Iterable[str] = (),
+        index_field_factory: Callable | None = None,
+        rewrite_identifier: Callable[[str], str] | None = None,
+    ) -> None:
+        self._registry = field_registry
+        self._untokenized_fieldnames = list(untokenized_fieldnames)
+        self._factory = index_field_factory
+        self._rewrite_identifier = rewrite_identifier or (lambda i: i)
+
+    def add(
+        self, identifier: str, fieldslist: Iterable[tuple[str, Any]]
+    ) -> tuple[str, list[dict]]:
+        factory = (
+            self._factory(self, self._untokenized_fieldnames)
+            if self._factory is not None
+            else None
+        )
+        fields: list[dict] = []
+        for fieldname, value in fieldslist:
+            produced = (
+                factory.fields_for(fieldname, value)
+                if factory is not None
+                else _identity_factory(fieldname, value)
+            )
+            for name, v in produced:
+                self._append(fields, name, v)
+        return self._rewrite_identifier(identifier), fields
+
+    def _append(self, fields: list[dict], fieldname: str, value: Any) -> None:
+        if self._registry.is_drilldown_field(fieldname):
+            path = [value] if isinstance(value, str) else list(value)
+            if not path:
+                return  # empty path dropped (:56-58)
+            leaf = str(path[-1])
+            path[-1] = leaf[:MAX_FACET_LEAF_VALUE_LENGTH]  # 256-char cap (:59-61)
+            fields.append(self._registry.create_facet_field(fieldname, path))
+        if self._registry.is_index_field(fieldname):
+            fields.append(self._registry.create_field(fieldname, value))
+
+
+def doc_to_row(fields: list[dict], text_sep: str = " ") -> dict[str, Any]:
+    """Flatten one wire document into a columnar ingest row: repeated
+    TextField values join with ``text_sep`` (the positionIncrementGap
+    analog), FacetField paths become ``list<string>`` columns (one
+    hierarchical path, or the union of 1-leaf paths for a flat multi-valued
+    facet), typed values pass through.  Limitation (documented): multiple
+    MULTI-SEGMENT paths on one facet field collapse to the last one — the
+    columnar layout stores one path per doc."""
+    row: dict[str, Any] = {}
+    for f in fields:
+        name = f["name"]
+        if f.get("path") is not None:
+            prev = row.get(name)
+            path = f["path"]
+            if isinstance(prev, list) and len(prev) <= 1 and len(path) == 1:
+                row[name] = prev + path  # flat multi-valued facet
+            else:
+                row[name] = list(path)
+        elif f["type"] == "TextField" and isinstance(row.get(name), str):
+            row[name] = row[name] + text_sep + f["value"]
+        else:
+            row[name] = f["value"]
+    return row
