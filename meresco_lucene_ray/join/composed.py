@@ -535,14 +535,25 @@ class MultiSearcher:
 
         if cq.relational_filter is None and cq.relational_filter_json:
             # relationalFilterJson wire form → relational AST
-            # (ComposedQuery.relationalFilter parsing, MultiLucene.java:100-116)
+            # (ComposedQuery.relationalFilter parsing, MultiLucene.java:100-116).
+            # Both dialects accepted: the reference's JsonQueryConverter names
+            # (RelationalLuceneQuery/JoinAndQuery/...) and our native node names.
             import json as _json
 
             from ..query.serialize import query_from_dict
+            from ..query.wireproto import _REL_TYPES, wire_to_relational
 
-            cq.relational_filter = query_from_dict(
-                _json.loads(cq.relational_filter_json)
-            )
+            d = _json.loads(cq.relational_filter_json)
+            if d.get("type") in _REL_TYPES:
+                from ..query.wireproto import WireConfig
+
+                def _cfg_of(core):
+                    mcfg = self.cores[core].manifest.config
+                    return WireConfig(text_col=mcfg.get("text_col", "content"))
+
+                cq.relational_filter = wire_to_relational(d, cfg_by_core=_cfg_of)
+            else:
+                cq.relational_filter = query_from_dict(d)
 
         # front-door extras: sort keys (legacy sort_by_other folded in) and
         # drilldown queries (PathPrefixQ filters per core — Q10)

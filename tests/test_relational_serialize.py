@@ -164,3 +164,35 @@ def test_relational_filter_json_in_composed(runner):
     res = ms.execute(cq)
     want_keys = {k for _, k, m in A if m == "true"} & {k for _, k, n in B if n == "true"}
     assert sorted(res.ids()) == sorted(i for i, k, _ in A if k in want_keys)
+
+
+def test_relational_filter_json_reference_dialect(runner):
+    # the same filter in the REFERENCE's JsonQueryConverter dialect
+    # (RelationalLuceneQuery/JoinAndQuery, JsonQueryConverter.java:238-276)
+    # parses identically at execute time
+    r, searchers = runner
+    ms = MultiSearcher(searchers, KEY_SPACE)
+    wire = {
+        "type": "JoinAndQuery",
+        "first": {
+            "type": "RelationalLuceneQuery", "core": "A",
+            "collectKeyName": "key", "filterKeyName": "key",
+            "query": {"type": "TermQuery", "term": {"field": "M", "value": "true"}},
+        },
+        "second": {
+            "type": "RelationalLuceneQuery", "core": "B",
+            "collectKeyName": "key", "filterKeyName": "key",
+            "query": {"type": "TermQuery", "term": {"field": "N", "value": "true"}},
+        },
+    }
+    cq = ComposedQuery(
+        result_core="A",
+        queries={"A": MatchAllQ()},
+        matches={("A", "B"): ("key", "key")},
+        relational_filter_json=json.dumps(wire),
+        stop=20,
+    )
+    cq.validate()
+    res = ms.execute(cq)
+    want_keys = {k for _, k, m in A if m == "true"} & {k for _, k, n in B if n == "true"}
+    assert sorted(res.ids()) == sorted(i for i, k, _ in A if k in want_keys)
