@@ -329,6 +329,39 @@ def make_tokenizer(
     return many
 
 
+class DelegatingAnalyzer:
+    """Analyzer wrapper adding a per-field position-increment gap
+    (src/org/meresco/lucene/analysis/DelegatingAnalyzer.java:33-58,
+    ``delegatinganalyzertest.py``).
+
+    The delegate is any many-texts tokenizer (``make_tokenizer`` form).
+    ``token_positions`` applies the Lucene gap semantic to a MULTI-VALUED
+    field: token positions restart ``gap`` past the previous value's last
+    position, so phrase queries never span value boundaries."""
+
+    def __init__(self, delegate, position_increment_gap: int = 10):
+        self._delegate = delegate
+        self._gap = position_increment_gap
+
+    def get_wrapped_analyzer(self, fieldname: str):
+        return self._delegate
+
+    def get_position_increment_gap(self, fieldname: str) -> int:
+        return self._gap
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return self._delegate(texts)
+
+    def token_positions(self, values: Sequence[str | None]) -> dict[str, list[int]]:
+        pos: dict[str, list[int]] = {}
+        base = 0
+        for toks in self._delegate(values):
+            for i, t in enumerate(toks):
+                pos.setdefault(t, []).append(base + i)
+            base += len(toks) + self._gap
+        return pos
+
+
 def term_freqs(tokens: Iterable[str]) -> Counter:
     return Counter(tokens)
 

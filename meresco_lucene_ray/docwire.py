@@ -32,7 +32,75 @@ from typing import Any, Callable, Iterable
 from .fieldregistry import IDFIELD, SORTED_PREFIX, FieldRegistry
 from .schema import MAX_FACET_LEAF_VALUE_LENGTH
 
-__all__ = ["Fields2Doc", "FieldsListToDoc", "doc_to_row"]
+__all__ = [
+    "Fields2Doc",
+    "FieldsListToDoc",
+    "add_string_fields",
+    "add_text_fields",
+    "doc_to_row",
+]
+
+
+def add_string_fields(
+    fields: list[dict],
+    prefixes: Iterable[str],
+    upto: int,
+    tag: str,
+    value: str,
+    store: bool = False,
+    facets: bool = False,
+) -> None:
+    """DocumentUtil.add_StringFields
+    (src/org/meresco/lucene/analysis/DocumentUtil.java:66-74): one
+    untokenized StringField per hierarchy prefix ``prefixes[0..upto]`` named
+    ``prefix + tag``; with ``facets``, the DEEPEST non-empty prefix also
+    emits a ``<fieldname>.facet`` FacetField with the value as a 1-leaf
+    path."""
+    prefixes = list(prefixes)
+    for j in range(upto + 1):
+        fieldname = prefixes[j] + tag
+        d: dict[str, Any] = {"type": "StringField", "name": fieldname, "value": value}
+        if store:
+            d["stored"] = True
+        fields.append(d)
+        if facets and prefixes[j] and j == upto:
+            fields.append(
+                {"type": "FacetField", "name": fieldname + ".facet", "path": [value]}
+            )
+
+
+def add_text_fields(
+    fields: list[dict],
+    prefixes: Iterable[str],
+    upto: int,
+    tag: str,
+    value: str,
+    store: bool = False,
+    position_increment_gap: int = 10,
+    facets: bool = False,
+) -> None:
+    """DocumentUtil.add_TextFields (DocumentUtil.java:75-83): like
+    :func:`add_string_fields` but analyzed TextFields.  The reference wraps
+    the analyzer per field with a position-increment gap
+    (``analysis.DelegatingAnalyzer``); in this engine's columnar ingest the
+    gap survives as the multi-value join separator (``doc_to_row`` —
+    phrases never span values because the separator tokenizes away)."""
+    prefixes = list(prefixes)
+    for j in range(upto + 1):
+        fieldname = prefixes[j] + tag
+        d: dict[str, Any] = {
+            "type": "TextField",
+            "name": fieldname,
+            "value": value,
+            "positionIncrementGap": position_increment_gap,
+        }
+        if store:
+            d["stored"] = True
+        fields.append(d)
+        if facets and prefixes[j] and j == upto:
+            fields.append(
+                {"type": "FacetField", "name": fieldname + ".facet", "path": [value]}
+            )
 
 
 class Fields2Doc:
