@@ -235,11 +235,11 @@ class AutocompleteReader:
             match_score = 1.0 if s.startswith(vnorm) else 0.5
             score = float(self.counts[i])
             sort_score = distance_score * score * score * (match_score * 2)
-            scored.append((s, sort_score))
+            scored.append((i, s, sort_score))
         # dedup + top-10 (suggestionindexcomponent.py handleRequest)
         seen: set[str] = set()
         out = []
-        for s, sc in sorted(scored, key=lambda x: (-x[1], x[0])):
+        for _, s, sc in sorted(scored, key=lambda x: (-x[2], x[1])):
             if s in seen:
                 continue
             seen.add(s)
@@ -247,3 +247,58 @@ class AutocompleteReader:
             if len(out) >= limit:
                 break
         return out
+
+    def suggest_records(
+        self,
+        value: str,
+        limit: int | None = None,
+        filter_keys: set[int] | None = None,
+        filters: list[str] | None = None,
+    ) -> list[dict]:
+        """The server-side ``/suggest`` row shape
+        (SuggestionNGramIndex.java:250-258, Suggestion :287-302): one record
+        per index row — suggestion, type, creator (None when untyped) and
+        the index-side score (shingle count, the doc-frequency weight) —
+        ranked like :meth:`suggest` but WITHOUT the dedup-by-suggestion the
+        front-door component applies later."""
+        grams = self._query_ngrams(value, trailing=False)
+        if not grams:
+            return []
+        field_filters = [tuple(f.partition("=")[::2]) for f in filters or []]
+        candidate_ids: np.ndarray | None = None
+        for g in grams:
+            ids = np.asarray(self.ngram_index.get(g, []), dtype=np.int64)
+            candidate_ids = (
+                ids
+                if candidate_ids is None
+                else candidate_ids[np.isin(candidate_ids, ids, assume_unique=True)]
+            )
+            if candidate_ids.size == 0:
+                return []
+        vnorm = value.lower().strip()
+        scored: list[tuple[float, int]] = []
+        for i in candidate_ids.tolist():
+            if filter_keys is not None and not (set(self.keys[i]) & filter_keys):
+                continue
+            if field_filters:
+                row = {"type": self.types[i], "creator": self.creators[i]}
+                if any(row.get(fld) != val for fld, val in field_filters):
+                    continue
+            s = self.shingles[i]
+            dist = levenshtein(vnorm, s)
+            distance_score = max(0.0, -math.log(dist + 1) / 4 + 1)
+            match_score = 1.0 if s.startswith(vnorm) else 0.5
+            score = float(self.counts[i])
+            scored.append((distance_score * score * score * (match_score * 2), i))
+        scored.sort(key=lambda x: (-x[0], self.shingles[x[1]]))
+        if limit is not None:
+            scored = scored[:limit]
+        return [
+            {
+                "suggestion": self.shingles[i],
+                "type": self.types[i] or None,
+                "creator": self.creators[i] or None,
+                "score": float(self.counts[i]),
+            }
+            for _, i in scored
+        ]
