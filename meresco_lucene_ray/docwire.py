@@ -38,7 +38,146 @@ __all__ = [
     "add_string_fields",
     "add_text_fields",
     "doc_to_row",
+    "document_string_to_fields",
+    "double_to_sortable_long",
+    "decode_latitude",
+    "decode_longitude",
+    "encode_latitude",
+    "encode_longitude",
 ]
+
+# ---- Lucene numeric/geo encodings (exact ports, pinned by tests) --------
+
+_LATITUDE_DECODE = 90.0 / (1 << 31)
+_LONGITUDE_DECODE = 180.0 / (1 << 31)
+
+
+def double_to_sortable_long(value: float) -> int:
+    """NumericUtils.doubleToSortableLong: IEEE-754 bits with the sign-flip
+    trick so numeric order == long order."""
+    import struct
+
+    bits = struct.unpack("<q", struct.pack("<d", value))[0]
+    return bits ^ ((bits >> 63) & 0x7FFFFFFFFFFFFFFF)
+
+
+def encode_latitude(latitude: float) -> int:
+    """GeoEncodingUtils.encodeLatitude — LatLonPoint's int32 quantizer."""
+    import math
+
+    return math.floor(latitude / _LATITUDE_DECODE)
+
+
+def decode_latitude(encoded: int) -> float:
+    return encoded * _LATITUDE_DECODE
+
+
+def encode_longitude(longitude: float) -> int:
+    import math
+
+    return math.floor(longitude / _LONGITUDE_DECODE)
+
+
+def decode_longitude(encoded: int) -> float:
+    return encoded * _LONGITUDE_DECODE
+
+
+def document_string_to_fields(document_string: str, term_numerator=None) -> list[dict]:
+    """Wire document JSON → typed indexable-field records — the server-side
+    ingest parse (src/org/meresco/lucene/DocumentStringToDocument.java:62-160,
+    DocumentStringToDocumentTest.java).
+
+    Each record carries the Lucene-shaped disposition so the columnar ingest
+    (and the tests) can see exactly what the reference would have indexed:
+    ``index`` (``"string" | "text" | "no_terms_frequency" | "point" | None``),
+    ``docvalues`` (``"sorted" | "numeric" | None``), ``stored`` /
+    ``term_vectors`` flags and the (typed) ``value``.  Notable semantics:
+
+    - ``StringField`` with ``sort`` becomes ONLY a SortedDocValuesField;
+    - stored Int/Long/Double points emit TWO records (StoredField + point),
+      matching testStoredIntField's two-field document;
+    - sorted doubles carry ``NumericUtils.doubleToSortableLong``;
+    - ``KeyField`` string values numerate through ``term_numerator``;
+    - ``LatLonField`` values quantize through the LatLonPoint int32 encoding.
+    """
+    import json as _json
+
+    fields: list[dict] = []
+
+    def rec(name, **kw):
+        d = {
+            "name": name,
+            "index": None,
+            "docvalues": None,
+            "stored": False,
+            "term_vectors": False,
+        }
+        d.update(kw)
+        return d
+
+    for f in _json.loads(document_string):
+        name = f["name"]
+        ftype = f["type"]
+        sort = bool(f.get("sort", False))
+        stored = bool(f.get("stored", False))
+        tv = bool(f.get("termVectors", False))
+        if ftype == "StringField":
+            if sort:
+                fields.append(rec(name, docvalues="sorted", value=f["value"]))
+            else:
+                fields.append(
+                    rec(name, index="string", stored=stored, term_vectors=tv,
+                        value=f["value"])
+                )
+        elif ftype == "TextField":
+            fields.append(
+                rec(name, index="text", term_vectors=tv, value=f["value"])
+            )
+        elif ftype == "NoTermsFrequencyField":
+            fields.append(
+                rec(name, index="no_terms_frequency", value=f["value"])
+            )
+        elif ftype in ("IntPoint", "IntField", "LongPoint", "LongField"):
+            value = int(f["value"])
+            if sort:
+                fields.append(rec(name, docvalues="numeric", value=value))
+            else:
+                if stored:
+                    fields.append(rec(name, stored=True, value=value))
+                fields.append(rec(name, index="point", value=value))
+        elif ftype in ("DoublePoint", "DoubleField"):
+            value = float(f["value"])
+            if sort:
+                fields.append(
+                    rec(name, docvalues="numeric",
+                        value=double_to_sortable_long(value))
+                )
+            else:
+                if stored:
+                    fields.append(rec(name, stored=True, value=value))
+                fields.append(rec(name, index="point", value=value))
+        elif ftype == "NumericField":
+            fields.append(rec(name, docvalues="numeric", value=int(f["value"])))
+        elif ftype == "KeyField":
+            v = f["value"]
+            if isinstance(v, str):
+                if term_numerator is None:
+                    raise ValueError("KeyField with a string value needs a term_numerator")
+                v = term_numerator.numerate(v)
+            fields.append(rec(name, docvalues="numeric", value=int(v)))
+        elif ftype == "FacetField":
+            fields.append(rec(name, facet=True, path=[str(p) for p in f["path"]]))
+        elif ftype == "LatLonField":
+            lat, lon = f["value"]
+            fields.append(
+                rec(name, index="point",
+                    value=(
+                        decode_latitude(encode_latitude(float(lat))),
+                        decode_longitude(encode_longitude(float(lon))),
+                    ))
+            )
+        # unknown types are skipped, like the reference's switch default
+    return fields
 
 
 def add_string_fields(
