@@ -1,5 +1,11 @@
 from .codec import varint_encode, varint_decode, encode_postings, decode_postings
-from .build import build_index, IndexConfig
+from .build import (
+    add_documents,
+    build_index,
+    delete_by_query,
+    delete_documents,
+    IndexConfig,
+)
 from .manifest import IndexManifest
 
 __all__ = [
@@ -7,7 +13,10 @@ __all__ = [
     "varint_decode",
     "encode_postings",
     "decode_postings",
+    "add_documents",
     "build_index",
+    "delete_by_query",
+    "delete_documents",
     "IndexConfig",
     "IndexManifest",
 ]

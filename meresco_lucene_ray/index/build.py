@@ -629,6 +629,26 @@ def delete_documents(index_dir: str, ids: list[str]) -> IndexManifest:
     return _publish_manifest(index_dir, cfg, bump_from=manifest)
 
 
+def delete_by_query(index_dir: str, query, searcher=None) -> IndexManifest:
+    """Delete every doc matching ``query`` (Lucene.delete(luceneQuery=...),
+    meresco/lucene/_lucene.py:81-90 / IndexWriter.deleteDocuments(Query)):
+    collect matching ids through the searcher, then tombstone them.
+
+    ``searcher`` reuses a serving :class:`~..query.engine.IndexSearcher`
+    (the writer+reader pairing the reference keeps in ``Lucene``); without
+    one a temporary single-actor searcher opens the current manifest.
+    Scale note: tombstones are O(matches) — for match-most deletions run
+    ``merge_index`` with an exclusion filter instead."""
+    if searcher is None:
+        from ..query.engine import IndexSearcher
+
+        searcher = IndexSearcher(index_dir, num_actors=1)
+    ids = searcher.matching_ids(query)
+    if not ids:
+        return IndexManifest.load(index_dir)
+    return delete_documents(index_dir, ids)
+
+
 def append_tombstones(index_dir: str, ids: list[str], before_shard: int) -> None:
     if not ids:
         return

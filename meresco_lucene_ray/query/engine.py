@@ -61,6 +61,12 @@ class _SegmentActorImpl:
     def count(self, q, sim, stats) -> int:
         return sum(s.count(q, sim, stats) for s in self.searchers)
 
+    def matching_ids(self, q, sim, stats) -> list[str]:
+        out: list[str] = []
+        for s in self.searchers:
+            out.extend(s.matching_ids(q, sim, stats))
+        return out
+
     def facet_counts(self, q, sim, stats, col, mode="auto"):
         out: dict[Any, int] = {}
         for s in self.searchers:
@@ -582,6 +588,22 @@ class IndexSearcher:
 
         stats = self._stats(q)
         return sum(ray.get([a.count.remote(q, self.sim, stats) for a in self.actors]))
+
+    def matching_ids(self, q) -> list[str]:
+        """Every matching ``__id__`` — the delete-by-query id collection
+        (Lucene.delete(luceneQuery=...), meresco/lucene/_lucene.py:81-90).
+        Scale note: the payload is O(matches); intended for targeted delete
+        queries — a match-most query should go through ``merge_index`` with
+        an exclusion filter instead."""
+        import ray
+
+        stats = self._stats(q)
+        out: list[str] = []
+        for part in ray.get(
+            [a.matching_ids.remote(q, self.sim, stats) for a in self.actors]
+        ):
+            out.extend(part)
+        return out
 
     def _cached(self, kind: str, q, key_col: str, size: int, compute):
         """keyCollectorCache / scoreCollectorCache analog: LRU(50) keyed by

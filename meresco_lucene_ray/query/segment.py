@@ -706,6 +706,17 @@ class SegmentSearcher:
         mask, _ = self.eval(q, sim, stats)
         return int(self._apply_live(mask).sum())
 
+    def matching_ids(self, q, sim: BM25, stats: dict) -> list[str]:
+        """``__id__`` of every live matching doc (deleteDocuments(Query)
+        support, Lucene.java delete-by-query path)."""
+        mask, _ = self.eval(q, sim, stats)
+        mask = self._apply_live(mask)
+        if not mask.any():
+            return []
+        return (
+            self.docs["__id__"].filter(pa.array(mask)).to_pylist()
+        )
+
     def _facet_level_col(self, col: str, depth: int) -> np.ndarray:
         """For a list<string> facet-path column: the '>'-joined prefix of
         length ``depth`` per doc (None when the path is shorter) — cached,

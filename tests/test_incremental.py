@@ -197,3 +197,20 @@ def test_whitespace_analyzer_index_build(ray_session, tmp_path):
     s = IndexSearcher(d, num_actors=1)
     assert s.count(TermQ("Foo-Bar")) == 1  # not lowercased, not split on '-'
     assert s.count(TermQ("foo")) == 0
+
+
+def test_delete_by_query(base_index, ray_session):
+    from meresco_lucene_ray.index.build import delete_by_query
+
+    d, cfg = base_index
+    s = IndexSearcher(d, num_actors=1)
+    # 'gamma' matches id2 + id3; id1 survives
+    delete_by_query(d, TermQ("gamma"), searcher=s)
+    s.refresh()
+    assert s.count(MatchAllQ()) == 1
+    assert s.execute(TermQ("alpha")).ids() == ["id1"]
+    # no-match query is a no-op publish
+    m = delete_by_query(d, TermQ("nosuchterm"))
+    assert m.num_docs >= 0
+    s.refresh()
+    assert s.count(MatchAllQ()) == 1
