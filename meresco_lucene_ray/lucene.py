@@ -37,7 +37,7 @@ import pyarrow as pa
 from .docwire import doc_to_row
 from .settings import LuceneSettings
 
-__all__ = ["Lucene", "ListResponse"]
+__all__ = ["Lucene", "ListResponse", "MultiLucene"]
 
 
 @dataclass
@@ -343,3 +343,77 @@ class Lucene:
             "name": self._name,
             "numDocs": self.num_docs() if self._has_index() else 0,
         }
+
+
+class MultiLucene:
+    """Multi-core router (meresco/lucene/multilucene.py:39-77,
+    ``multilucenetest.py``): routes single-core calls to the named
+    :class:`Lucene` core and composed queries through a
+    :class:`~.join.composed.MultiSearcher` over the cores' searchers.
+
+    ``key_space`` sizes the numerated join-key domain the composed bitsets
+    live in (TermNumerator ordinal space; the reference's server sizes it
+    from the taxonomy)."""
+
+    def __init__(
+        self,
+        cores: Sequence[Lucene],
+        default_core: str,
+        key_space: int = 1 << 16,
+        cluster_config=None,
+    ):
+        self._cores = {c.core_name: c for c in cores}
+        if default_core not in self._cores:
+            raise ValueError(f"unknown defaultCore {default_core!r}")
+        self._default_core = default_core
+        self._key_space = key_space
+        self._cluster_config = cluster_config
+        self._multi = None
+
+    def __getitem__(self, core: str) -> Lucene:
+        return self._cores[core]
+
+    @property
+    def multi_searcher(self):
+        if self._multi is None:
+            from .join.composed import MultiSearcher
+
+            self._multi = MultiSearcher(
+                {name: c.searcher for name, c in self._cores.items()},
+                key_space=self._key_space,
+                cluster_config=self._cluster_config,
+            )
+        return self._multi
+
+    # executeQuery (:48-51): route to the named (or default) core
+    def execute_query(self, core: str | None = None, **kwargs):
+        return self._cores[core or self._default_core].execute_query(**kwargs)
+
+    # executeComposedQuery (:53-61): sort-key missing-value defaulting per
+    # core happens inside MultiSearcher; the info envelope mirrors infoDict
+    # (composedquery.py:269-273)
+    def execute_composed_query(self, query):
+        response = self.multi_searcher.execute(query)
+        response.info = {
+            "type": type(query).__name__,
+            "query": {
+                k.replace("_", ""): v for k, v in query.as_dict().items() if v
+            },
+        }
+        return response
+
+    # any_unknown routing (:63-70)
+    def prefix_search(self, core: str | None = None, **kw):
+        return self._cores[core or self._default_core].prefix_search(**kw)
+
+    def fieldnames(self, core: str | None = None):
+        return self._cores[core or self._default_core].fieldnames()
+
+    def drilldown_fieldnames(self, core: str | None = None, **kw):
+        return self._cores[core or self._default_core].drilldown_fieldnames(**kw)
+
+    def similar_documents(self, core: str | None = None, **kw):
+        return self._cores[core or self._default_core].similar_documents(**kw)
+
+    def core_info(self) -> list[dict]:
+        return [c.core_info() for c in self._cores.values()]

@@ -151,3 +151,43 @@ def test_facets_with_max_terms(tmp_path, ray_session):
         MatchAllQ(), facets=[{"fieldname": "tag", "maxTerms": 2}]
     )
     assert res.drilldown_data["tag"] == {"a": 2, "b": 1}
+
+
+def test_multi_lucene_routing_and_composed(tmp_path, ray_session):
+    # multilucenetest.py: route single-core calls, execute a composed join
+    from meresco_lucene_ray.join import ComposedQuery
+    from meresco_lucene_ray.lucene import MultiLucene
+
+    core_a = Lucene(
+        str(tmp_path / "A"), name="coreA", stored_cols=("key",), num_actors=1
+    )
+    core_b = Lucene(
+        str(tmp_path / "B"), name="coreB", stored_cols=("key",), num_actors=1
+    )
+    for ident, text, key in [("a:0", "alpha", 1), ("a:1", "beta", 2), ("a:2", "alpha beta", 3)]:
+        fields = [{"type": "KeyField", "name": "key", "value": key}]
+        add_text_fields(fields, ("",), 0, "content", text)
+        core_a.add_document(fields, identifier=ident)
+    core_a.commit()
+    for ident, text, key in [("b:0", "filter", 2), ("b:1", "filter", 3), ("b:2", "other", 1)]:
+        fields = [{"type": "KeyField", "name": "key", "value": key}]
+        add_text_fields(fields, ("",), 0, "content", text)
+        core_b.add_document(fields, identifier=ident)
+    core_b.commit()
+
+    ml = MultiLucene([core_a, core_b], default_core="coreA", key_space=16)
+    # single-core routing (default + explicit)
+    assert ml.execute_query(lucene_query=TermQ("alpha")).total == 2
+    assert ml.execute_query(core="coreB", lucene_query=TermQ("filter")).total == 2
+    assert ml.prefix_search(prefix="al", fieldname="content").hits == ["alpha"]
+    assert {c["name"] for c in ml.core_info()} == {"coreA", "coreB"}
+
+    # composed: A docs whose key matches B docs matching 'filter' (keys 2,3)
+    cq = ComposedQuery(result_core="coreA", stop=10)
+    cq.set_core_query("coreA", MatchAllQ())
+    cq.set_core_query("coreB", TermQ("filter"))
+    cq.add_match(dict(core="coreA", uniqueKey="key"), dict(core="coreB", key="key"))
+    cq.validate()
+    res = ml.execute_composed_query(cq)
+    assert sorted(res.ids()) == ["a:1", "a:2"]
+    assert res.info["type"] == "ComposedQuery"
