@@ -11,6 +11,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .hashing import strip_meta
+
 
 def brute_force_topk(ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", exclude_ids=()):
     """Exact cosine top-k: per-batch matmul + partial top-k → driver merge.
@@ -59,6 +61,7 @@ class LshBucketer:
         return (bits.astype(np.int64) * weights).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
         return batch.append_column("lsh_bucket", pa.array(self.signature(mat)))
 
@@ -92,6 +95,7 @@ class IvfAssigner:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
         # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2; argmin over c drops ||x||^2
         scores = mat @ self.centroids.T - 0.5 * (self.centroids**2).sum(axis=1)[None, :]

@@ -30,12 +30,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis import arrow_tokens, tokenize_batch
-from .hashing import cached_stage, fnv1a_arrow, ragged_arange
+from .hashing import cached_stage, fnv1a_arrow, ragged_arange, strip_meta
 
 
 # ---------- exact dedup ----------------------------------------------------
 
 def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "content_md5") -> pa.Table:
+    batch = strip_meta(batch)
     texts = batch[text_col].to_pylist()
     hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
     return batch.append_column(out, pa.array(hashes, type=pa.string()))
@@ -132,6 +133,7 @@ class MinHasher:
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         sig = self.signatures(batch)
         values = pa.array(sig.reshape(-1).astype(np.int64))
         offsets = pa.array(
@@ -297,7 +299,7 @@ class SimHasher:
                 hit = (2 * setcnt) > dl[sel][:, None]
                 out[sel] = (hit.astype(np.uint64) * bit_cols[None, :]).sum(axis=1)
                 lo = hi
-        return batch.append_column("simhash", pa.array(out.astype(np.int64)))
+        return strip_meta(batch).append_column("simhash", pa.array(out.astype(np.int64)))
 
 
 # ---------- n-gram Jaccard ---------------------------------------------------
@@ -524,6 +526,7 @@ class CosineScorer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-30)

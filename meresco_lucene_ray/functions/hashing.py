@@ -124,6 +124,19 @@ def mersenne_addmod(a: np.ndarray, b) -> np.ndarray:
     return np.where(r >= _M, r - _M, r)
 
 
+def strip_meta(batch):
+    """Drop schema-level metadata (zero-copy) from a pyarrow Table.
+
+    Parquet files written by pandas carry a ``b'pandas'`` schema-metadata
+    entry; a pyarrow Schema with ANY metadata is unhashable (its ``__hash__``
+    hashes the metadata dict), which defeats Ray Data's block-schema
+    deduplication and logs a "Failed to hash the schemas" warning per block.
+    Apply at the head of any map stage that returns a batch-derived table."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
 _STAGE_CACHE: dict = {}
 
 

@@ -26,6 +26,8 @@ import io
 import numpy as np
 import pyarrow as pa
 
+from .hashing import strip_meta
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -128,6 +130,7 @@ class ImageDecodeStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         feats = []
         for buf in batch["payload"].to_pylist():
             if self.fake:
@@ -183,6 +186,7 @@ class AudioFrameSampleStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         frames = [self._frames_one(buf or b"") for buf in batch["payload"].to_pylist()]
         return batch.append_column("frames", pa.array(frames, type=pa.list_(pa.float64())))
 
@@ -202,6 +206,7 @@ class VideoFrameSampleStage:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         frames = []
         for buf in batch["payload"].to_pylist():
             h = hashlib.sha256(buf or b"").digest()

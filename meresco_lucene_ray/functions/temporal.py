@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .hashing import strip_meta
+
 
 def sessionize(
     ds,
@@ -114,7 +116,7 @@ def asof_join_broadcast(
         safe = np.where(ok, pos, 0)
         ok &= (st["key"][safe] == l_key) & (st["ts"][safe] <= l_ts)
         idx = pa.array(np.flatnonzero(ok))
-        return batch.take(idx).append_column(
+        return strip_meta(batch).take(idx).append_column(
             out_col, pa.array(st["ts"][safe][np.asarray(ok)], type=pa.int64())
         )
 

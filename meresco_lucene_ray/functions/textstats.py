@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis import arrow_tokens
-from .hashing import fnv1a_arrow, mersenne_addmod, mersenne_mulmod
+from .hashing import fnv1a_arrow, mersenne_addmod, mersenne_mulmod, strip_meta
 
 # tiny multilingual stopword lists for the n-gram/stopword language heuristic
 STOPWORDS = {
@@ -40,6 +40,7 @@ def _unique_runs(codes: np.ndarray, doc_idx: np.ndarray) -> tuple[np.ndarray, np
 
 def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc token statistics: n_tokens, n_unique, avg token length."""
+    batch = strip_meta(batch)
     codes, doc_idx, dic, dl = arrow_tokens(batch[text_col])
     ndocs = len(batch)
     run_doc, _ = _unique_runs(codes, doc_idx)
@@ -55,6 +56,7 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality signals: token count, stopword ratio (frozen English list),
     alpha ratio.  A training-data filter stage."""
+    batch = strip_meta(batch)
     codes, doc_idx, dic, dl = arrow_tokens(batch[text_col])
     ndocs = len(batch)
     in_sw = pc.is_in(dic, value_set=pa.array(QUALITY_STOPWORDS)).to_numpy(
@@ -79,6 +81,7 @@ class LangId:
         self.tables = [pa.array(sorted(STOPWORDS[lang])) for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
         codes, doc_idx, dic, _dl = arrow_tokens(batch[self.text_col])
         ndocs = len(batch)
         run_doc, run_code = _unique_runs(codes, doc_idx)
@@ -108,6 +111,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = (h·BASE + fnv32(token)) mod (2^61−1) runs once per token POSITION
     over the active-doc prefix — bit-identical to the round-1 per-token
     Python loop."""
+    batch = strip_meta(batch)
     codes, _doc_idx, dic, dl = arrow_tokens(batch[text_col])
     ndocs = len(batch)
     out = np.zeros(ndocs, dtype=np.uint64)

@@ -235,6 +235,8 @@ class TokenizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if batch.schema.metadata:  # pandas parquet metadata makes schemas unhashable
+            batch = batch.replace_schema_metadata(None)
         cfg = self.cfg
         # __id__ built in Arrow (C string join), no Python string objects
         if cfg.id_col:
@@ -372,6 +374,8 @@ class SegmentBuilder:
 
         if _segment_complete(seg_dir, fp):
             t = pq.read_table(os.path.join(seg_dir, "postings.parquet"), columns=["term", "df", "cf"])
+            if t.schema.metadata:
+                t = t.replace_schema_metadata(None)
             return t.append_column("shard", pa.array(np.full(len(t), shard, dtype=np.int32)))
 
         # ---- upsert dedup: last-write-wins per __id__ (dedup by sorted order,

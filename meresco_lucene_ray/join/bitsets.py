@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import strip_meta
+
 
 @dataclass
 class KeyBits:
@@ -160,6 +162,6 @@ def broadcast_lookup_join(ds, key_col: str, mapping: dict, out_col: str, default
                 ok[ok] = self.keys[pos[ok]] == keys[ok]
             out = np.full(len(batch), default, dtype=object)
             out[ok] = self.vals[pos[ok]]
-            return batch.append_column(out_col, pa.array(out.tolist()))
+            return strip_meta(batch).append_column(out_col, pa.array(out.tolist()))
 
     return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 8))

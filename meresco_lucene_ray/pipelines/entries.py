@@ -125,6 +125,21 @@ def _documents_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+def _strip_batch(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(path, **kw):
+    """``read_parquet`` + drop the pandas schema metadata (fused map, zero
+    copy): schemas with metadata are unhashable, which defeats Ray Data's
+    block-schema dedup and logs a warning per block in every all-to-all op."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, **kw).map_batches(
+        _strip_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def get_searcher(sf_dir: str) -> IndexSearcher:
     """Build (or reuse) the documents index for this sf_dir; cache searcher."""
     s = _SEARCHERS.get(sf_dir)
@@ -152,8 +167,10 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
         # derive the tie-free dedup-sort column, stage to parquet, then run
         # the zero-shuffle file-partitioned build
         staged = os.path.join(idx_dir, "staged")
-        ds = rd.read_parquet(src)
+        ds = read_parquet_clean(src)
         def derive(t: pa.Table) -> pa.Table:
+            if t.schema.metadata:
+                t = t.replace_schema_metadata(None)
             t = t.append_column(
                 "nc_did",
                 pa.array(
@@ -409,7 +426,7 @@ def _orders_grouped(sf_dir: str, bits, group_col: str) -> pa.Table:
 
     from ..join import semi_join_filter
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", group_col, "o_totalprice"],
     )
@@ -444,7 +461,7 @@ def q_join_semi(sf_dir: str) -> pa.Table:
     from ..join import keys_of_dataset
 
     size = _customer_keyspace(sf_dir)
-    customer = rd.read_parquet(
+    customer = read_parquet_clean(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     ).filter(expr="c_mktsegment == 'BUILDING'")
     bits = keys_of_dataset(customer, "c_custkey", size)
@@ -458,7 +475,7 @@ def q_join_anti(sf_dir: str) -> pa.Table:
     from ..join import keys_of_dataset
 
     size = _customer_keyspace(sf_dir)
-    customer = rd.read_parquet(
+    customer = read_parquet_clean(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     ).filter(expr="c_mktsegment == 'BUILDING'")
     bits = ~keys_of_dataset(customer, "c_custkey", size)
@@ -474,14 +491,14 @@ def q_join_unite(sf_dir: str) -> pa.Table:
 
     size = _customer_keyspace(sf_dir)
     b1 = keys_of_dataset(
-        rd.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
         ).filter(expr="c_mktsegment == 'BUILDING'"),
         "c_custkey",
         size,
     )
     b2 = keys_of_dataset(
-        rd.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderpriority"]
         ).filter(expr="o_orderpriority == '1-URGENT'"),
         "o_custkey",
@@ -522,7 +539,7 @@ def q_rank_blend(sf_dir: str) -> pa.Table:
         )
 
     parts = (
-        rd.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_totalprice"],
         )
@@ -549,7 +566,7 @@ def q_join_sort(sf_dir: str) -> pa.Table:
     mapping = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
     from ..join import broadcast_lookup_join
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
     )
     joined = broadcast_lookup_join(orders, "o_custkey", mapping, "c_name", default="")
@@ -576,7 +593,7 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
 
     from ..functions.dedup import exact_dedup
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     out = exact_dedup(ds, "text", "doc_id").to_pandas()
     out["keep_id"] = out["keep_id"].astype(np.int64)
     out["dup_count"] = out["dup_count"].astype(np.int64)
@@ -589,7 +606,7 @@ def q_token_stats(sf_dir: str) -> pa.Table:
 
     from ..functions.textstats import token_stats_batch
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "lang", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "lang", "text"])
     stats = ds.map_batches(token_stats_batch, batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
@@ -615,7 +632,7 @@ def q_quality(sf_dir: str) -> pa.Table:
 
     from ..functions.textstats import quality_batch
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     out = (
         ds.map_batches(quality_batch, batch_format="pyarrow")
         .to_pandas()[["doc_id", "n_tokens", "stopword_ratio"]]
@@ -633,7 +650,7 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = np.asarray(emb.filter(pa.compute.equal(emb["vec_id"], 0))["embedding"][0].as_py())
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, qvec, k=10, exclude_ids=(0,))
     return pa.table(
         {
@@ -657,7 +674,7 @@ def q_ivf_ann_topk(sf_dir: str) -> pa.Table:
     emb = emb.take(pc.sort_indices(emb, sort_keys=[("vec_id", "ascending")]))
     qvec = np.asarray(emb["embedding"][0].as_py())
     cents = np.asarray(emb["embedding"].slice(0, 16).to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     out = ivf_topk(ds, qvec, k=10, n_probe=4, centroids=cents, exclude_ids=(0,))
@@ -676,7 +693,7 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
 
     import pandas as pd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     out = embedding_neardup_pairs(ds, group_col="label", threshold=0.8)
     df = out.to_pandas()
     if df.empty:
@@ -698,7 +715,7 @@ def q_minhash_buckets(sf_dir: str) -> pa.Table:
 
     from ..functions.dedup import minhash_lsh_candidates
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     out = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32, bands=8).to_pandas()
     out = out[out["ids"].map(lambda x: isinstance(x, (list, np.ndarray)) and len(x) >= 2)]
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
@@ -712,7 +729,7 @@ def q_neardup_verified(sf_dir: str) -> pa.Table:
 
     from ..functions.dedup import minhash_lsh_candidates, verify_neardup_pairs
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     buckets = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32, bands=16, shingle_n=2)
     # fully distributed candidate-then-verify: pair explode → hash join of
     # per-doc shingle-hash sets → Jaccard inside map_batches (no driver fetch)
@@ -732,7 +749,7 @@ def q_simhash(sf_dir: str) -> pa.Table:
 
     from ..functions.dedup import SimHasher
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     # task pool: SimHasher is stateless — no actor-pool spin-up cost
     out = ds.map_batches(SimHasher("text"), batch_format="pyarrow", batch_size=1024)
     return out.select_columns(["doc_id", "simhash"]).to_pandas().pipe(
@@ -748,7 +765,7 @@ def q_simhash_neardup(sf_dir: str) -> pa.Table:
 
     from ..functions.dedup import simhash_neardup_pairs
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     out = simhash_neardup_pairs(ds, "text", "doc_id", max_hamming=3)
     parts = [p for p in ray.get(out.to_arrow_refs()) if len(p)]
     t = (
@@ -772,7 +789,7 @@ def q_langid(sf_dir: str) -> pa.Table:
 
     from ..functions.textstats import LangId
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     # task pool: the stopword tables are trivially rebuilt per worker
     out = ds.map_batches(LangId("text"), batch_format="pyarrow", batch_size=1024)
     return out.select_columns(["doc_id", "lang_pred"]).to_pandas().pipe(
@@ -785,7 +802,7 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
 
     from ..functions.textstats import fingerprint_batch
 
-    ds = rd.read_parquet(_documents_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"]).to_pandas().pipe(
         pa.Table.from_pandas, preserve_index=False
@@ -852,7 +869,7 @@ def q_lsh_ann(sf_dir: str) -> pa.Table:
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = np.asarray(emb.filter(pa.compute.equal(emb["vec_id"], 0))["embedding"][0].as_py())
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     out = lsh_topk(ds, qvec, k=10)
     return pa.table(
         {"vec_id": out["vec_id"], "cosine": pa.array(_round4(out["cosine"].to_numpy()))}
@@ -919,7 +936,7 @@ def q_events_window(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "event_type", "value"],
     )
@@ -944,7 +961,7 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
 
     from ..functions.temporal import sessionize
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
     )
     out = sessionize(ds, "user_id", "ts", gap_us=1_800_000_000, id_col="event_id")
@@ -974,7 +991,7 @@ def q_events_asof(sf_dir: str) -> pa.Table:
     clicks = clicks.filter(pc.equal(clicks["event_type"], "click")).select(
         ["user_id", "ts"]
     )
-    errors = rd.read_parquet(
+    errors = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts", "event_type"],
     ).filter(expr="event_type == 'error'")
@@ -1128,9 +1145,9 @@ def q_autocomplete(sf_dir: str) -> pa.Table:
     path = os.path.join("/tmp", "mlr_idx_cache", f"sugg_{key}.parquet")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if not os.path.exists(path):
-        ds = rd.read_parquet(src, columns=["doc_id", "text"])
+        ds = read_parquet_clean(src, columns=["doc_id", "text"])
         titled = ds.map_batches(
-            lambda t: t.append_column(
+            lambda t: t.replace_schema_metadata(None).append_column(
                 "title",
                 pa.array([" ".join(tokenize(x)[:4]) for x in t["text"].to_pylist()]),
             ),

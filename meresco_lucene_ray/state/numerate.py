@@ -79,6 +79,8 @@ def numerate_columns(ds, cols: list[str], numerator: TermNumerator, suffix: str 
             self.index = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.schema.metadata:
+                batch = batch.replace_schema_metadata(None)
             for c in cols:
                 vals = batch[c].to_pylist()
                 ids = np.fromiter(
