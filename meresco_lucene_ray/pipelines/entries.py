@@ -1164,6 +1164,127 @@ def q_autocomplete(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- training-data curation entries ---------------------------------------
+
+
+def _augment_pii(t: pa.Table) -> pa.Table:
+    """Deterministically inject PII-shaped substrings (the corpus text is
+    pure lowercase word soup) so the redaction machinery has real matches;
+    the SQL oracle derives the IDENTICAL augmented column."""
+    if t.schema.metadata:
+        t = t.replace_schema_metadata(None)
+    did = t["doc_id"]
+    ids = did.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = pc.cast(did, pa.string())
+    empty = pa.array([""] * len(t), type=pa.string())
+    cat = pc.binary_join_element_wise
+    email = pc.if_else(
+        pa.array(ids % 2 == 0), cat(" mail u", d, "@example.org", ""), empty
+    )
+    ip = pc.if_else(
+        pa.array(ids % 3 == 0),
+        cat(" ip 10.0.", pc.cast(pa.array(ids % 256), pa.string()), ".9", ""),
+        empty,
+    )
+    tel = pc.if_else(
+        pa.array(ids % 5 == 0),
+        cat(" tel 555-867-", pc.utf8_lpad(pc.cast(pa.array(ids % 10000), pa.string()), 4, "0"), ""),
+        empty,
+    )
+    aug = cat(t["text"], email, ip, tel, "")
+    return pa.table({"doc_id": did, "text": aug})
+
+
+def q_pii_redact(sf_dir: str) -> pa.Table:
+    from ..functions.curation import redact_pii_batch
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(_augment_pii, batch_format="pyarrow")
+        .map_batches(redact_pii_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_id", "n_pii", "redacted"]], preserve_index=False)
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: docs sharing any token 5-gram with the
+    benchmark slice (doc_id % 97 == 0 stands in for the eval suite).
+    Real decontamination uses 8-13-gram overlap; 3 here because the synthetic
+    docs are short."""
+    from ..functions.curation import decontaminate
+
+    src = _documents_path(sf_dir)
+    ds = read_parquet_clean(src, columns=["doc_id", "text"])
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.take(pa.array(np.flatnonzero(ids % 97 == 0)))
+
+    bench = read_parquet_clean(src, columns=["doc_id", "text"]).map_batches(
+        bench_only, batch_format="pyarrow"
+    )
+    flagged = decontaminate(ds, bench, shingle_n=3)
+
+    def sel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ov = t["n_overlap"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.flatnonzero((ov > 0) & (ids % 97 != 0)))).select(
+            ["doc_id", "n_overlap"]
+        )
+
+    out = flagged.map_batches(sel, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    from ..functions.curation import stratified_sample_batch
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "lang"])
+    out = (
+        ds.map_batches(stratified_sample_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out[["doc_id", "lang"]], preserve_index=False)
+
+
+def q_repetition(sf_dir: str) -> pa.Table:
+    from ..functions.curation import repetition_batch
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(repetition_batch, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "n_tokens", "dup_token_frac", "dup_2gram_frac"]]
+    )
+    out["dup_token_frac"] = _round4(out["dup_token_frac"].to_numpy())
+    out["dup_2gram_frac"] = _round4(out["dup_2gram_frac"].to_numpy())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_seqpack(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.curation import seqpack_windows
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    packed = seqpack_windows(ds, budget=2048, part_size=1024)
+    out = (
+        packed.groupby("window")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_toks"))
+        .to_pandas()
+        .sort_values("window")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_toks"] = out["n_toks"].astype(np.int64)
+    return pa.Table.from_pandas(out[["window", "n_docs", "n_toks"]], preserve_index=False)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
@@ -1533,7 +1654,101 @@ FROM err e ASOF JOIN clk c ON e.user_id = c.user_id AND e.ts >= c.ts
 ORDER BY e.event_id
 """
 
+# ---- curation-family oracles ----------------------------------------------
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 2 = 0 THEN ' mail u' || doc_id::VARCHAR || '@example.org' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.9' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+  AS aug
+FROM documents
+"""
+
+
+def _pii_redact_sql() -> str:
+    """Sequential redaction mirrored step-for-step (count on the current
+    text, then replace) — Arrow and DuckDB both run RE2."""
+    from ..functions.curation import PII_PATTERNS
+
+    (_, p1, r1), (_, p2, r2), (_, p3, r3) = PII_PATTERNS
+    return f"""
+WITH a AS ({_PII_AUG_SQL}),
+s1 AS (SELECT doc_id, len(regexp_extract_all(aug, '{p1}'))::BIGINT AS c1,
+              regexp_replace(aug, '{p1}', '{r1}', 'g') AS t1 FROM a),
+s2 AS (SELECT doc_id, c1, len(regexp_extract_all(t1, '{p2}'))::BIGINT AS c2,
+              regexp_replace(t1, '{p2}', '{r2}', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, c1, c2, len(regexp_extract_all(t2, '{p3}'))::BIGINT AS c3,
+              regexp_replace(t2, '{p3}', '{r3}', 'g') AS t3 FROM s2)
+SELECT doc_id, (c1 + c2 + c3)::BIGINT AS n_pii, t3 AS redacted FROM s3 ORDER BY doc_id
+"""
+
+
+def _decontaminate_sql(n: int = 5) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {n}
+         THEN [array_to_string(toks[i:i+{n - 1}], ' ') for i in range(1, len(toks)-{n - 2})]
+         ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(list_transform(shingles, s -> ({_fnv_sql('s')}))) AS h FROM sh),
+bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+cand AS (SELECT DISTINCT doc_id, h FROM ex WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+FROM cand c JOIN bench b USING (h)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+def _stratified_sample_sql() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, lang, doc_id::VARCHAR AS did FROM documents)
+SELECT doc_id, lang FROM s
+WHERE ({_fnv_sql('did')}) % 1000 < 100 + ({_fnv_sql('lang')}) % 800
+ORDER BY doc_id
+"""
+
+
+def _repetition_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, len(toks)::BIGINT AS n, len(list_distinct(toks))::BIGINT AS u,
+    CASE WHEN len(toks) >= 2
+         THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         ELSE [] END AS pairs
+  FROM tok
+)
+SELECT doc_id, n AS n_tokens,
+  {_round4_sql("CASE WHEN n > 0 THEN 1.0 - u::DOUBLE / n ELSE 0.0 END")} AS dup_token_frac,
+  {_round4_sql("CASE WHEN n >= 2 THEN 1.0 - len(list_distinct(pairs))::DOUBLE / (n - 1) ELSE 0.0 END")} AS dup_2gram_frac
+FROM st ORDER BY doc_id
+"""
+
+
+def _seqpack_sql(budget: int = 2048) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, len({TOKS})::BIGINT AS n FROM documents),
+pre AS (
+  SELECT doc_id, n,
+    COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM tok
+)
+SELECT (p // {budget})::BIGINT AS window, count(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS n_toks
+FROM pre GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
+    "pii_redact": _pii_redact_sql(),
+    "decontaminate": _decontaminate_sql(3),
+    "stratified_sample": _stratified_sample_sql(),
+    "repetition": _repetition_sql(),
+    "seqpack": _seqpack_sql(2048),
     "cluster_multi": _CLUSTER_MULTI_SQL,
     "ivf_ann_topk": _IVF_ANN_SQL,
     "events_sessions": _EVENTS_SESSIONS_SQL,
@@ -1796,4 +2011,9 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "autocomplete": q_autocomplete,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "repetition": q_repetition,
+    "seqpack": q_seqpack,
 }
