@@ -103,6 +103,23 @@ FINGERPRINT_MOD = (1 << 61) - 1
 FINGERPRINT_BASE = 1_000_003
 
 
+# GPT-2-style pretokenizer, RE2-safe (no lookahead — RE2 has none; the
+# `\s+(?!\S)` refinement is dropped, trailing-space chunks merge into one
+# \s+ token).  Arrow and DuckDB both run RE2, so counts match exactly.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc BPE-ish token count — the training-cost estimator: a BPE
+    vocabulary splits on (then merges within) exactly these pretoken
+    chunks, so the chunk count is the tight upper bound on real tokenizer
+    output and the standard budget proxy when the merges table isn't
+    shipped with the pipeline."""
+    batch = strip_meta(batch)
+    n = pc.count_substring_regex(batch[text_col], BPE_PRETOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic rolling polynomial hash over the token stream — a
     document fingerprint robust to whitespace/punctuation differences.

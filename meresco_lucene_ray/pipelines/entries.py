@@ -1266,6 +1266,33 @@ def q_repetition(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_bpe_tokens(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import bpe_token_count_batch
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "lang", "text"])
+    counted = ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_bpe_tokens", "sum"), ([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "docs_p": g["count_all"], "tok_p": g["n_bpe_tokens_sum"]}
+        )
+
+    out = (
+        counted.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("docs_p", alias_name="docs"), Sum("tok_p", alias_name="bpe_tokens"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["docs"] = out["docs"].astype(np.int64)
+    out["bpe_tokens"] = out["bpe_tokens"].astype(np.int64)
+    return pa.Table.from_pandas(out[["lang", "docs", "bpe_tokens"]], preserve_index=False)
+
+
 def q_seqpack(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
@@ -1743,8 +1770,20 @@ FROM pre GROUP BY 1 ORDER BY 1
 """
 
 
+def _bpe_tokens_sql() -> str:
+    from ..functions.textstats import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+SELECT lang, count(*)::BIGINT AS docs,
+  SUM(len(regexp_extract_all(text, '{pat}')))::BIGINT AS bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 ORACLES: dict[str, str] = {
     "pii_redact": _pii_redact_sql(),
+    "bpe_tokens": _bpe_tokens_sql(),
     "decontaminate": _decontaminate_sql(3),
     "stratified_sample": _stratified_sample_sql(),
     "repetition": _repetition_sql(),
@@ -2012,6 +2051,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "events_asof": q_events_asof,
     "autocomplete": q_autocomplete,
     "pii_redact": q_pii_redact,
+    "bpe_tokens": q_bpe_tokens,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "repetition": q_repetition,

@@ -192,3 +192,15 @@ def test_seqpack_partition_boundaries_carry_offsets(ray_session):
     pre = np.concatenate(([0], np.cumsum(n)[:-1]))
     assert out["window"].tolist() == (pre // 4).tolist()
     assert out["n_tokens"].tolist() == n
+
+
+# ---- BPE-ish token counting ------------------------------------------------
+
+
+def test_bpe_token_count():
+    from meresco_lucene_ray.functions.textstats import bpe_token_count_batch
+
+    t = _t(doc_id=[0, 1, 2], text=["hello world  42", "", "it's x!"])
+    out = bpe_token_count_batch(t)
+    # 'hello',' world','  ','42' → 4 ; '' → 0 ; 'it',"'s",' x','!' → 4
+    assert out["n_bpe_tokens"].to_pylist() == [4, 0, 4]
