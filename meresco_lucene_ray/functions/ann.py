@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .hashing import strip_meta
+from .hashing import list_col_to_matrix, strip_meta
 
 
 def brute_force_topk(ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", exclude_ids=()):
@@ -28,7 +28,7 @@ def brute_force_topk(ds, query_vec, k=10, vec_col="embedding", id_col="vec_id", 
     def partial(batch: pa.Table) -> pa.Table:
         qv = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch[vec_col], dtype=np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         sims = mat @ qv
         if excl:
@@ -62,7 +62,7 @@ class LshBucketer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = strip_meta(batch)
-        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch[self.vec_col], dtype=np.float64)
         return batch.append_column("lsh_bucket", pa.array(self.signature(mat)))
 
 
@@ -96,7 +96,7 @@ class IvfAssigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = strip_meta(batch)
-        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch[self.vec_col], dtype=np.float64)
         # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2; argmin over c drops ||x||^2
         scores = mat @ self.centroids.T - 0.5 * (self.centroids**2).sum(axis=1)[None, :]
         return batch.append_column(

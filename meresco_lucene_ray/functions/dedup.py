@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis import arrow_tokens, tokenize_batch
-from .hashing import cached_stage, fnv1a_arrow, ragged_arange, strip_meta
+from .hashing import cached_stage, fnv1a_arrow, list_col_to_matrix, ragged_arange, strip_meta
 
 
 # ---------- exact dedup ----------------------------------------------------
@@ -527,7 +527,7 @@ class CosineScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = strip_meta(batch)
-        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch[self.vec_col], dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-30)
         sims = mat @ self.q.T  # (batch, n_queries)

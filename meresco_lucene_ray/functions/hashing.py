@@ -124,6 +124,30 @@ def mersenne_addmod(a: np.ndarray, b) -> np.ndarray:
     return np.where(r >= _M, r - _M, r)
 
 
+def list_col_to_matrix(col, dtype=None):
+    """``list<float>`` column → (n, dim) numpy matrix, zero-copy when the
+    lists are rectangular and null-free (the embedding-column layout): the
+    flattened values buffer IS the matrix.  Falls back to ``to_pylist`` for
+    ragged input."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype or np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if col.null_count == 0 and (widths == widths[0]).all():
+        # flatten() is slice-aware: it returns exactly this array's values
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(n, int(widths[0]))
+        return mat.astype(dtype) if dtype is not None and mat.dtype != dtype else mat
+    arr = col.to_pylist()
+    return np.asarray(arr, dtype=dtype or np.float64)
+
+
 def strip_meta(batch):
     """Drop schema-level metadata (zero-copy) from a pyarrow Table.
 

@@ -174,3 +174,24 @@ def test_minhash_max_bucket_skew_guard(ray_session):
     # sub-cap buckets survive untouched
     small_full = [tuple(g) for g in full["ids"] if len(g) <= 3]
     assert sorted(tuple(g) for g in capped_ids) == sorted(small_full)
+
+
+def test_list_col_to_matrix_rect_and_ragged():
+    import numpy as np
+    import pyarrow as pa
+
+    from meresco_lucene_ray.functions.hashing import list_col_to_matrix
+
+    rect = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], type=pa.list_(pa.float64()))
+    m = list_col_to_matrix(rect)
+    assert m.shape == (3, 2) and m[2, 1] == 6.0
+    # sliced offsets (non-zero start) must still map to the right rows
+    m2 = list_col_to_matrix(rect.slice(1, 2))
+    assert m2.tolist() == [[3.0, 4.0], [5.0, 6.0]]
+    ragged = pa.array([[1.0], [2.0, 3.0]], type=pa.list_(pa.float64()))
+    import pytest
+
+    with pytest.raises(ValueError):
+        np.asarray(ragged.to_pylist(), dtype=np.float64)  # ragged is ragged
+    # fallback path returns object-free matrix only for rectangular input;
+    # ragged raises in numpy — callers only use embedding columns (rect)
