@@ -36,9 +36,23 @@ from .hashing import cached_stage, fnv1a_arrow, list_col_to_matrix, ragged_arang
 # ---------- exact dedup ----------------------------------------------------
 
 def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "content_md5") -> pa.Table:
+    """md5 hexdigest per row, hashing Arrow buffer slices directly — no
+    Python str materialization / re-encode of the corpus (same pattern as
+    the build's ``_sha256_column``; utf-8 bytes are hashed either way)."""
+    from .hashing import _string_view
+
     batch = strip_meta(batch)
-    texts = batch[text_col].to_pylist()
-    hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+    offs, data = _string_view(col)
+    mv = memoryview(data) if data.size else memoryview(b"")
+    md5 = hashlib.md5
+    hashes = [md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(col))]
     return batch.append_column(out, pa.array(hashes, type=pa.string()))
 
 
