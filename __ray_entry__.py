@@ -29,7 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query.  51 of 53 entries are SQL-mirrored
+    """DuckDB-equivalent SQL per query.  52 of 54 entries are SQL-mirrored
     (incl. the FNV-hash family, autocomplete and multiprobe LSH ANN via
     HUGEINT/list_reduce SQL); only cluster_topdocs (DBSCAN+PageRank) and
     media_features (binary decode) are rows-only — both golden-pinned in

@@ -1312,6 +1312,64 @@ def q_seqpack(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["window", "n_docs", "n_toks"]], preserve_index=False)
 
 
+def q_curate_pack(sf_dir: str) -> pa.Table:
+    """The flagship training-data curation CHAIN, one streaming pipeline:
+    repetition filter (dup-2-gram < 0.4) → benchmark decontamination (drop
+    any 3-gram overlap with the doc_id%97 bench slice, bench docs
+    themselves dropped too) → deterministic stratified sample → sequence
+    packing of the survivors into 2048-token windows.  Every stage is a
+    fused map over the same stream; only seqpack's tiny (doc_id, n_tokens,
+    part) triples ever shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.curation import (
+        Decontaminator,
+        benchmark_shingle_set,
+        repetition_batch,
+        seqpack_windows,
+        stratified_sample_batch,
+    )
+
+    import ray
+
+    src = _documents_path(sf_dir)
+    ds = read_parquet_clean(src, columns=["doc_id", "lang", "text"])
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.take(pa.array(np.flatnonzero(ids % 97 == 0)))
+
+    bench = read_parquet_clean(src, columns=["doc_id", "text"]).map_batches(
+        bench_only, batch_format="pyarrow"
+    )
+    bench_ref = ray.put(benchmark_shingle_set(bench, shingle_n=3))
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = repetition_batch(t)
+        frac = t["dup_2gram_frac"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.take(pa.array(np.flatnonzero((frac < 0.4) & (ids % 97 != 0))))
+        from ..functions.hashing import cached_stage
+
+        t = cached_stage(Decontaminator, bench_ref, "text", 3)(t)
+        ov = t["n_overlap"].to_numpy(zero_copy_only=False)
+        t = t.take(pa.array(np.flatnonzero(ov == 0)))
+        return stratified_sample_batch(t).select(["doc_id", "text"])
+
+    kept = ds.map_batches(clean, batch_format="pyarrow")
+    packed = seqpack_windows(kept, budget=2048, part_size=1024)
+    out = (
+        packed.groupby("window")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_toks"))
+        .to_pandas()
+        .sort_values("window")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_toks"] = out["n_toks"].astype(np.int64)
+    return pa.Table.from_pandas(out[["window", "n_docs", "n_toks"]], preserve_index=False)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
@@ -1781,9 +1839,57 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def _curate_pack_sql(n: int = 3, budget: int = 2048) -> str:
+    """The whole curation chain in one CTE pipeline — filter thresholds and
+    float arithmetic written op-for-op like the engine stages."""
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+rep AS (
+  SELECT doc_id, lang, toks, len(toks)::BIGINT AS n,
+    CASE WHEN len(toks) >= 2
+         THEN len(list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]))::BIGINT
+         ELSE 0 END AS u2
+  FROM tok
+),
+keep1 AS (
+  SELECT doc_id, lang, n FROM rep
+  WHERE doc_id % 97 <> 0
+    AND (CASE WHEN n >= 2 THEN 1.0 - u2::DOUBLE / (n - 1) ELSE 0.0 END) < 0.4
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {n}
+         THEN [array_to_string(toks[i:i+{n - 1}], ' ') for i in range(1, len(toks)-{n - 2})]
+         ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(list_transform(shingles, s -> ({_fnv_sql('s')}))) AS h FROM sh),
+bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT e.doc_id FROM ex e JOIN bench b USING (h) WHERE e.doc_id % 97 <> 0
+),
+keep2 AS (
+  SELECT k.doc_id, k.lang, k.n FROM keep1 k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+samp AS (
+  SELECT doc_id, n FROM (SELECT doc_id, lang, n, doc_id::VARCHAR AS did FROM keep2)
+  WHERE ({_fnv_sql('did')}) % 1000 < 100 + ({_fnv_sql('lang')}) % 800
+),
+pre AS (
+  SELECT doc_id, n,
+    COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM samp
+)
+SELECT (p // {budget})::BIGINT AS window, count(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS n_toks
+FROM pre GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "pii_redact": _pii_redact_sql(),
     "bpe_tokens": _bpe_tokens_sql(),
+    "curate_pack": _curate_pack_sql(),
     "decontaminate": _decontaminate_sql(3),
     "stratified_sample": _stratified_sample_sql(),
     "repetition": _repetition_sql(),
@@ -2056,4 +2162,5 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "stratified_sample": q_stratified_sample,
     "repetition": q_repetition,
     "seqpack": q_seqpack,
+    "curate_pack": q_curate_pack,
 }

@@ -204,3 +204,12 @@ def test_bpe_token_count():
     out = bpe_token_count_batch(t)
     # 'hello',' world','  ','42' → 4 ; '' → 0 ; 'it',"'s",' x','!' → 4
     assert out["n_bpe_tokens"].to_pylist() == [4, 0, 4]
+
+
+def test_entry_dicts_consistent():
+    """Every queries() entry has an oracle or a documented golden pin."""
+    from meresco_lucene_ray.pipelines.entries import ORACLES, QUERIES
+
+    no_oracle = set(QUERIES) - set(ORACLES)
+    assert no_oracle == {"media_features", "cluster_topdocs"}
+    assert set(ORACLES) <= set(QUERIES)
