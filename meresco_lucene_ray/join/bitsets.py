@@ -60,6 +60,33 @@ class KeyBits:
     def unpack(cls, buf: bytes, size: int) -> "KeyBits":
         return cls(np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=size).astype(bool))
 
+    def pack_fixed_bitset(self) -> bytes:
+        """EXACT Lucene FixedBitSet wire bytes (Utils.java:117-126
+        writeFixedBitSet, read back by meresco/lucene/utils.py:46-51):
+        big-endian int32 numBits, int32 numWords, then numWords big-endian
+        int64 words where bit i of the set is bit (i & 63) — LSB-first —
+        of word (i >> 6)."""
+        import struct
+
+        bits = self.materialize()
+        num_bits = bits.size
+        num_words = (num_bits + 63) // 64
+        padded = np.zeros(num_words * 64, dtype=bool)
+        padded[:num_bits] = bits
+        # LSB-first bit packing → little-endian byte view == Java long value
+        words = np.packbits(padded, bitorder="little").view("<u8")
+        return struct.pack(">ii", num_bits, num_words) + words.byteswap().tobytes()
+
+    @classmethod
+    def unpack_fixed_bitset(cls, buf: bytes) -> "KeyBits":
+        """Inverse of :meth:`pack_fixed_bitset` (Utils.java:106-115)."""
+        import struct
+
+        num_bits, num_words = struct.unpack(">ii", buf[:8])
+        words = np.frombuffer(buf[8 : 8 + 8 * num_words], dtype=">u8").astype("<u8")
+        bits = np.unpackbits(words.view(np.uint8), bitorder="little", count=num_bits)
+        return cls(bits.astype(bool))
+
 
 def bitset_from_keys(keys: np.ndarray, size: int) -> np.ndarray:
     bs = np.zeros(size, dtype=bool)

@@ -114,6 +114,9 @@ class ComposedQuery:
     start: int = 0
     stop: int = 10
     export_keys: bool = False
+    # explicit key column for exportKeys (the ExportKeysHandler's `exportKey`
+    # URL parameter); None derives it from the registered matches
+    export_key_name: str | None = None
     # {suggests: [word...], count: int, field: str, mode: str} — passed
     # through to the result core's executeQuery and answered from ITS term
     # dictionary (composedquery.py:65, Lucene.java:334-342)
@@ -592,6 +595,13 @@ class MultiSearcher:
                 suggestion_request=cq.suggestion_request,
             )
             _shape_facets(res, result_core, result_core, cq.facets.get(result_core, ()))
+            if cq.export_keys:
+                # ExportKeysHandler works on single-core composed queries too
+                # (luceneservertest.testExportKeys); key name must be explicit
+                # here — there is no match to derive it from
+                res.drilldown_data["__exported_keys__"] = KeyBits(
+                    searcher.collect_keys(base_q, cq.export_key_name, self.key_space)
+                )
             self._maybe_cluster(cq, searcher, base_q, res)
             return res
 
@@ -747,7 +757,9 @@ class MultiSearcher:
 
         if cq.export_keys:
             res.drilldown_data["__exported_keys__"] = KeyBits(
-                searcher.collect_keys(final_q, _any_rkey(), self.key_space)
+                searcher.collect_keys(
+                    final_q, cq.export_key_name or _any_rkey(), self.key_space
+                )
             )
         self._maybe_cluster(cq, searcher, final_q, res)
         return res

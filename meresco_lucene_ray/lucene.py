@@ -373,6 +373,9 @@ class MultiLucene:
     def __getitem__(self, core: str) -> Lucene:
         return self._cores[core]
 
+    def core_names(self) -> list[str]:
+        return list(self._cores)
+
     @property
     def multi_searcher(self):
         if self._multi is None:

@@ -1,0 +1,223 @@
+"""Transport-free Lucene server endpoint router — the Java server's HTTP
+surface (`src/org/meresco/lucene/http/LuceneHttpServer.java` handlers:
+UpdateHandler, QueryHandler, DeleteHandler, CommitHandler, SettingsHandler,
+PrefixSearchHandler, NumerateHandler, ExportKeysHandler, the
+similarDocuments route, and ComposedQueryHandler) re-expressed over the
+``Lucene``/``MultiLucene`` facades, mirrored end-to-end by
+``tests/test_server.py`` against ``test/_integration/luceneservertest.py``.
+
+``handle_request(path, Method, Body, **params)`` stands in for the raw
+HTTP layer exactly like ``remote_service.py`` does for the remote tier: a
+dict with ``statusCode`` / ``contentType`` / ``body`` instead of a socket.
+The JSON payloads ARE the reference's wire formats (query dicts via
+``query.wireproto``, LuceneResponse via ``query.response_wire``, update
+bodies via the ``doc_to_row`` field-list contract, exportkeys via the
+exact Lucene FixedBitSet byte layout in ``join.bitsets``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import traceback
+from typing import Any
+
+from .join.composed import ComposedQuery
+from .lucene import ListResponse, Lucene, MultiLucene
+from .query.response_wire import response_to_wire
+from .state.numerate import TermNumerator
+
+__all__ = ["LuceneServer"]
+
+
+def _ok(body: str, content_type: str = "application/json") -> dict:
+    return {"statusCode": "200", "contentType": content_type, "body": body}
+
+
+def _error(exc: BaseException) -> dict:
+    x = traceback.format_exc()
+    return {
+        "statusCode": "500",
+        "contentType": "text/plain",
+        "body": x if x and x.strip() != "None" else repr(exc),
+    }
+
+
+class LuceneServer:
+    """Routes ``/<core>/update|query|delete|settings|prefixSearch|
+    similarDocuments/`` plus the global ``/commit/``, ``/numerate/`` and
+    ``/exportkeys/`` endpoints into the facades."""
+
+    def __init__(self, multi: MultiLucene, numerator: TermNumerator | None = None):
+        self._multi = multi
+        self._numerator = numerator if numerator is not None else TermNumerator()
+
+    # ---- entry point -----------------------------------------------------
+    def handle_request(
+        self, path: str, Method: str = "POST", Body: str | bytes | None = None, **params: Any
+    ) -> dict:
+        try:
+            parts = [p for p in path.split("/") if p]
+            if parts == ["commit"]:
+                for name in self._multi.core_names():
+                    self._multi[name].commit()
+                return _ok("", "text/plain")
+            if parts == ["numerate"]:
+                body = Body.decode() if isinstance(Body, bytes) else (Body or "")
+                return _ok(str(self._numerator.numerate(body)), "text/plain")
+            if parts == ["exportkeys"]:
+                return self._exportkeys(Body, **params)
+            if len(parts) != 2:
+                return {"statusCode": "404", "contentType": "text/plain", "body": "not found"}
+            core_name, endpoint = parts
+            core = self._multi[core_name]
+            handler = getattr(self, "_" + endpoint, None)
+            if handler is None:
+                return {"statusCode": "404", "contentType": "text/plain", "body": "not found"}
+            return handler(core, Method, Body, **params)
+        except Exception as e:
+            return _error(e)
+
+    # ---- per-core endpoints ----------------------------------------------
+    def _update(self, core: Lucene, Method, Body, identifier=None, **_):
+        fields = json.loads(Body)
+        # this engine tokenizes ONE text column per core: every TextField
+        # folds into it (doc_to_row joins repeated values with a space, the
+        # positionIncrementGap analog); typed/facet/key fields keep their
+        # own columns and must be in the core's stored_cols to be queried
+        text_col = core._cfg.text_col
+        fields = [
+            {**f, "name": text_col} if f.get("type") == "TextField" else f
+            for f in fields
+        ]
+        core.add_document(fields, identifier=identifier)
+        return _ok("", "text/plain")
+
+    def _delete(self, core: Lucene, Method, Body, identifier=None, **_):
+        if identifier is not None:
+            core.delete(identifier=identifier)
+        else:
+            core.delete(lucene_query=json.loads(Body)["query"])
+        return _ok("", "text/plain")
+
+    @staticmethod
+    def _fold_fields(q: Any, text_col: str, stored: frozenset) -> Any:
+        """The update route folds every TextField into the core's one
+        tokenized column; queries against those folded field names must
+        follow (a field that is neither stored nor ``__id__`` can only
+        mean the text column)."""
+        if isinstance(q, dict):
+            out = {k: LuceneServer._fold_fields(v, text_col, stored) for k, v in q.items()}
+            term = out.get("term")
+            if (
+                out.get("type") in ("TermQuery", "PrefixQuery", "WildcardQuery")
+                and isinstance(term, dict)
+                and term.get("type") != "DrillDown"
+                and term.get("field") not in stored
+                and term.get("field") != "__id__"
+            ):
+                out["term"] = {**term, "field": text_col}
+            return out
+        if isinstance(q, list):
+            return [LuceneServer._fold_fields(v, text_col, stored) for v in q]
+        return q
+
+    def _query(self, core: Lucene, Method, Body, **_):
+        d = json.loads(Body)
+        if not core._has_index():  # nothing committed yet → empty response
+            return _ok(json.dumps({"total": 0, "queryTime": 0, "hits": []}))
+        t0 = time.monotonic()
+        times: dict[str, int] = {}
+        query = self._fold_fields(
+            d["query"], core._cfg.text_col, frozenset(core._cfg.stored_cols)
+        )
+        res = core.execute_query(
+            lucene_query=query,
+            start=d.get("start"),
+            stop=d.get("stop"),
+            facets=d.get("facets"),
+            sort_keys=d.get("sortKeys"),
+            suggestion_request=d.get("suggestionRequest"),
+            dedup_field=d.get("dedupField"),
+            dedup_sort_field=d.get("dedupSortField"),
+            clustering=bool(d.get("clustering")),
+            stored_fields=d.get("storedFields"),
+        )
+        ms = int((time.monotonic() - t0) * 1000)
+        # the reference reports per-phase times; one engine round serves all
+        # phases here, so each requested phase reports the round's time
+        times["queryTime"] = ms
+        if d.get("facets"):
+            times["facetTime"] = ms
+        if d.get("suggestionRequest"):
+            times["suggestionTime"] = ms
+        return _ok(json.dumps(response_to_wire(res, query_time=ms, times=times)))
+
+    def _settings(self, core: Lucene, Method, Body, **_):
+        if Method == "GET" or Body in (None, ""):
+            d = core.get_settings()
+            sim = d.get("similarity")
+            if isinstance(sim, dict) and sim.get("type") == "BM25Similarity":
+                # the reference GET renders similarity as its display string
+                from .query.scorer import BM25
+
+                default = BM25()
+                d["similarity"] = "BM25(k1=%s,b=%s)" % (
+                    sim.get("k1", default.k1),
+                    sim.get("b", default.b),
+                )
+            return _ok(json.dumps(d))
+        core._check_writable("Changing settings")
+        core.settings = core.settings.update_settings(Body)
+        return _ok("", "text/plain")
+
+    def _prefixSearch(self, core: Lucene, Method, Body, fieldname=None, prefix=None, limit=10, **_):
+        res = core.prefix_search(fieldname, prefix, show_count=True, limit=int(limit))
+        return _ok(json.dumps([[t, c] for t, c in res.hits]))
+
+    def _similarDocuments(self, core: Lucene, Method, Body, identifier=None, **_):
+        try:
+            res = core.similar_documents(identifier)
+        except (ValueError, KeyError, FileNotFoundError):
+            # doc unknown / no stored term vectors → the reference's empty
+            # response (luceneservertest.testSimilarDocs)
+            return _ok(json.dumps({"total": 0, "queryTime": 0, "hits": []}))
+        if isinstance(res, ListResponse):
+            return _ok(json.dumps({"total": res.total, "queryTime": 0, "hits": list(res.hits)}))
+        return _ok(json.dumps(response_to_wire(res)))
+
+    def _fieldnames(self, core: Lucene, Method, Body, **_):
+        return _ok(json.dumps(list(core.fieldnames().hits)))
+
+    def _drilldownFieldnames(self, core: Lucene, Method, Body, path=None, limit=50, **_):
+        res = core.drilldown_fieldnames(path=path, limit=int(limit))
+        return _ok(json.dumps(list(res.hits)))
+
+    # ---- composed / export ----------------------------------------------
+    def _exportkeys(self, Body, exportKey=None, **_):
+        d = json.loads(Body)
+        cq = ComposedQuery.from_dict(d)
+        # wire dicts → engine ASTs (the ComposedQueryHandler's per-core
+        # JsonQueryConverter step), folding text-field names like _query
+        from .query.wireproto import wire_to_ast
+
+        def conv(core_name, q):
+            if not isinstance(q, dict):
+                return q
+            core = self._multi[core_name]
+            q = self._fold_fields(q, core._cfg.text_col, frozenset(core._cfg.stored_cols))
+            return wire_to_ast(q)
+
+        cq.queries = {c: conv(c, q) for c, q in cq.queries.items()}
+        cq.filter_queries = {
+            c: [conv(c, q) for q in qs] for c, qs in cq.filter_queries.items()
+        }
+        cq.export_keys = True
+        cq.export_key_name = exportKey
+        res = self._multi.execute_composed_query(cq)
+        kb = res.drilldown_data["__exported_keys__"]
+        return {
+            "statusCode": "200",
+            "contentType": "application/octet-stream",
+            "body": kb.pack_fixed_bitset(),
+        }
