@@ -67,6 +67,8 @@ class LuceneServer:
                 return _ok(str(self._numerator.numerate(body)), "text/plain")
             if parts == ["exportkeys"]:
                 return self._exportkeys(Body, **params)
+            if parts == ["query"]:  # global composed-query endpoint
+                return self._composedquery(Body)
             if len(parts) != 2:
                 return {"statusCode": "404", "contentType": "text/plain", "body": "not found"}
             core_name, endpoint = parts
@@ -189,17 +191,25 @@ class LuceneServer:
     def _fieldnames(self, core: Lucene, Method, Body, **_):
         return _ok(json.dumps(list(core.fieldnames().hits)))
 
+    def _numDocs(self, core: Lucene, Method, Body, **_):
+        return _ok(str(core.num_docs() if core._has_index() else 0), "text/plain")
+
+    def _maxDoc(self, core: Lucene, Method, Body, **_):
+        # tombstoned docs stay counted until a merge compacts them — the
+        # Lucene maxDoc-vs-numDocs distinction collapses between merges here
+        return _ok(str(core.num_docs() if core._has_index() else 0), "text/plain")
+
     def _drilldownFieldnames(self, core: Lucene, Method, Body, path=None, limit=50, **_):
         res = core.drilldown_fieldnames(path=path, limit=int(limit))
         return _ok(json.dumps(list(res.hits)))
 
     # ---- composed / export ----------------------------------------------
-    def _exportkeys(self, Body, exportKey=None, **_):
-        d = json.loads(Body)
-        cq = ComposedQuery.from_dict(d)
-        # wire dicts → engine ASTs (the ComposedQueryHandler's per-core
-        # JsonQueryConverter step), folding text-field names like _query
+    def _convert_composed(self, d: dict) -> ComposedQuery:
+        """ComposedQuery.fromJsonString + per-core query conversion (the
+        reference threads MultiLucene.getQueryConverters() through)."""
         from .query.wireproto import wire_to_ast
+
+        cq = ComposedQuery.from_dict(d)
 
         def conv(core_name, q):
             if not isinstance(q, dict):
@@ -212,6 +222,17 @@ class LuceneServer:
         cq.filter_queries = {
             c: [conv(c, q) for q in qs] for c, qs in cq.filter_queries.items()
         }
+        cq.rank_queries = {c: conv(c, q) for c, q in cq.rank_queries.items()}
+        return cq
+
+    def _composedquery(self, Body) -> dict:
+        t0 = time.monotonic()
+        res = self._multi.execute_composed_query(self._convert_composed(json.loads(Body)))
+        ms = int((time.monotonic() - t0) * 1000)
+        return _ok(json.dumps(response_to_wire(res, query_time=ms)))
+
+    def _exportkeys(self, Body, exportKey=None, **_):
+        cq = self._convert_composed(json.loads(Body))
         cq.export_keys = True
         cq.export_key_name = exportKey
         res = self._multi.execute_composed_query(cq)

@@ -196,3 +196,54 @@ def test_similar_documents_empty_fallback(server):  # testSimilarDocs
 def test_unknown_routes(server):
     assert server.handle_request("/nope/", "GET")["statusCode"] == "404"
     assert server.handle_request("/coreA/nope/", "GET")["statusCode"] == "404"
+
+
+def test_composed_query_endpoint(tmp_path, ray_session):
+    """The global /query/ endpoint (ComposedQueryHandler): a two-core
+    semi-join posted as the reference's composedQuery JSON."""
+    settings = LuceneSettings(commit_count=1)
+    a = Lucene(str(tmp_path / "A"), name="coreA", settings=settings, num_actors=1,
+               stored_cols=("keyA",))
+    b = Lucene(str(tmp_path / "B"), name="coreB", settings=settings, num_actors=1,
+               stored_cols=("keyB",))
+    server = LuceneServer(MultiLucene([a, b], default_core="coreA"))
+    for i, word in enumerate(["apple", "apple", "banana"]):
+        resp = server.handle_request(
+            "/coreA/update/", "POST",
+            json.dumps([
+                {"type": "TextField", "name": "f", "value": word},
+                {"type": "KeyField", "name": "keyA", "value": i},
+            ]),
+            identifier=f"a{i}",
+        )
+        assert resp["statusCode"] == "200", resp["body"]
+    for i, word in enumerate(["match", "miss", "match"]):
+        resp = server.handle_request(
+            "/coreB/update/", "POST",
+            json.dumps([
+                {"type": "TextField", "name": "g", "value": word},
+                {"type": "KeyField", "name": "keyB", "value": i},
+            ]),
+            identifier=f"b{i}",
+        )
+        assert resp["statusCode"] == "200", resp["body"]
+    cq = {
+        "resultsFrom": "coreA",
+        "cores": ["coreA", "coreB"],
+        "queries": {
+            "coreA": {"type": "MatchAllDocsQuery"},
+            "coreB": {"type": "TermQuery", "term": {"field": "g", "value": "match"}},
+        },
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "uniqueKey": "keyA"},
+                {"core": "coreB", "key": "keyB"},
+            ]
+        },
+    }
+    resp = server.handle_request("/query/", "POST", json.dumps(cq))
+    assert resp["statusCode"] == "200", resp["body"]
+    r = json.loads(resp["body"])
+    # coreB docs b0 (key 0) and b2 (key 2) match → coreA docs a0, a2 survive
+    assert r["total"] == 2
+    assert sorted(h["id"] for h in r["hits"]) == ["a0", "a2"]
