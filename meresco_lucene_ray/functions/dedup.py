@@ -450,13 +450,25 @@ def verify_neardup_pairs(
         shingle_set_stage, batch_format="pyarrow", batch_size=1024
     ).materialize()
 
+    # The two renames MUST be distinct map_batches UDFs, not lazy
+    # rename_columns branches: Ray 2.49's plan dedup conflates two
+    # rename_columns views of one materialized dataset when both feed
+    # chained hash joins, and the second join then sees the wrong-schema
+    # left input ("No match or multiple matches for FieldRef id_b").
+    # Arrow rename is metadata-only, so the map stays zero-copy.
+    def _as_a(t: pa.Table) -> pa.Table:
+        return t.select(["__sid__", "shingle_hashes"]).rename_columns(["id_a", "sh_a"])
+
+    def _as_b(t: pa.Table) -> pa.Table:
+        return t.select(["__sid__", "shingle_hashes"]).rename_columns(["id_b", "sh_b"])
+
     joined = pair_ds.join(
-        sigs.rename_columns({"__sid__": "id_a", "shingle_hashes": "sh_a"}),
+        sigs.map_batches(_as_a, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=4,
         on=("id_a",),
     ).join(
-        sigs.rename_columns({"__sid__": "id_b", "shingle_hashes": "sh_b"}),
+        sigs.map_batches(_as_b, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=4,
         on=("id_b",),
