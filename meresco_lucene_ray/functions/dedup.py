@@ -702,3 +702,121 @@ def simhash_neardup_pairs(
         .repartition(1)
         .map_batches(distinct, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------- duplicate-group connected components -----------------------------
+
+def connected_components(
+    pairs, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50, num_partitions: int = 8
+):
+    """Distributed connected components over a (id_a, id_b) pair Dataset by
+    min-label propagation: every node repeatedly adopts the smallest label
+    seen among itself and its neighbors until fixpoint.  The final step of a
+    dedup pipeline — near-dup PAIRS become duplicate GROUPS with the minimum
+    doc id as the canonical representative (what the reference's dedup field
+    collapses per key, lifted to transitive near-dup identity).
+
+    Scale shape: edges are materialized ONCE (symmetric, deduped per batch)
+    and each iteration is one hash join (labels onto edge sources) plus one
+    groupby-min — both Ray-native shuffles keyed on the node id, no driver
+    state, no per-group Python.  Iteration count is the largest component
+    diameter; dedup graphs are dense clusters of near-identical docs, so in
+    practice a handful (a pathological chain still converges, see
+    tests/test_connected_components.py::test_long_chain).  Convergence is
+    detected EXACTLY: each round counts nodes whose label improved (an
+    aggregate over the grouped union, no label-sum overflow games at 10^12
+    ids).
+
+    Returns a Dataset of (node, component) — one row per node that appears
+    in any pair, component = min node id reachable.  Singletons (docs in no
+    pair) are implicitly their own component and never enter the loop.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def snap(ds):
+        # materialize AND drop empty blocks: Ray 2.49's groupby/map stages
+        # emit zero-row blocks with an EMPTY (zero-column) schema, and a
+        # hash join whose input partition concatenates one of those loses
+        # the key column ("No match ... for FieldRef.Name(node)").  Block
+        # refs only — nothing is fetched to the driver.
+        mat = ds.materialize()
+        refs = [
+            block_ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for block_ref, meta in bundle.blocks
+            if meta.num_rows
+        ]
+        if not refs:
+            empty = pa.table(
+                {"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())}
+            )
+            return rd.from_arrow(empty)
+        return rd.from_arrow_refs(refs)
+
+    def symmetric(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        first = np.ones(src.size, dtype=bool)
+        first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        return pa.table({"node": pa.array(src[first]), "nbr": pa.array(dst[first])})
+
+    edges = snap(pairs.map_batches(symmetric, batch_format="pyarrow"))
+
+    # label_0(u) = min(u, min N(u)) — the first propagation round fused into init
+    def init_label(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        m = t["min(nbr)"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": t["node"], "label": pa.array(np.minimum(node, m))})
+
+    labels = snap(
+        edges.groupby("node")
+        .aggregate(Min("nbr"))
+        .map_batches(init_label, batch_format="pyarrow")
+    )
+
+    def msg_view(t: pa.Table) -> pa.Table:
+        # messages: neighbor hears my label; old=+inf marks "not my own row"
+        return pa.table(
+            {
+                "node": t["nbr"],
+                "label": t["label"],
+                "old": pa.array(np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)),
+            }
+        )
+
+    def self_view(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["label"], "old": t["label"]})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["min(label)"],
+                "changed": pc.cast(pc.less(t["min(label)"], t["min(old)"]), pa.int64()),
+            }
+        )
+
+    for _ in range(max_iters):
+        msgs = edges.join(labels, join_type="inner", num_partitions=num_partitions, on=("node",))
+        folded = (
+            msgs.map_batches(msg_view, batch_format="pyarrow")
+            .union(labels.map_batches(self_view, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("label"), Min("old"))
+            .map_batches(fold, batch_format="pyarrow")
+        )
+        folded = snap(folded)
+        n_changed = (folded.aggregate(Sum("changed", alias_name="n")) or {}).get("n", 0) or 0
+        labels = snap(folded.drop_columns(["changed"]))
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "component"]), batch_format="pyarrow"
+    )

@@ -744,6 +744,33 @@ def q_neardup_verified(sf_dir: str) -> pa.Table:
     )
 
 
+def q_neardup_components(sf_dir: str) -> pa.Table:
+    """Dedup carried to GROUPS: LSH candidates → verified pairs → distributed
+    connected components (min-label propagation over Ray hash joins) — the
+    pairs→groups→canonical-representative step that finishes a 100 TB dedup.
+    component = min doc_id transitively reachable; is_canonical marks the
+    group representative a keep-filter would retain."""
+    from ..functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        verify_neardup_pairs,
+    )
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    buckets = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32, bands=16, shingle_n=2)
+    pairs = verify_neardup_pairs(ds, buckets, "text", "doc_id", n=2, threshold=0.5)
+    comp = connected_components(pairs).to_pandas().sort_values("node").reset_index(drop=True)
+    node = comp["node"].astype(np.int64)
+    label = comp["component"].astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(node),
+            "component": pa.array(label),
+            "is_canonical": pa.array((node == label).astype(np.int64)),
+        }
+    )
+
+
 def q_simhash(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
@@ -1540,9 +1567,9 @@ FROM hashed GROUP BY band, band_hash HAVING count(*) >= 2
 """
 
 
-def _neardup_verified_sql() -> str:
-    """Full candidate-then-verify pipeline (num_perm=32, bands=16, n=2):
-    buckets → distinct pairs → exact shingle-set Jaccard ≥ 0.5."""
+def _neardup_pair_ctes() -> str:
+    """Shared CTE chain of the candidate-then-verify pipeline (num_perm=32,
+    bands=16, n=2): buckets → distinct pairs → exact shingle-set Jaccard."""
     return f"""{_minhash_ctes(32, 16, 2)},
 hashed AS (SELECT doc_id, band, ({_fnv_sql('bstr')})::UBIGINT AS band_hash FROM bandrows),
 pairs AS (
@@ -1556,8 +1583,31 @@ jac AS (
     len(list_intersect(a.ss, b.ss))::DOUBLE /
       greatest(1, len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))::DOUBLE AS j
   FROM pairs p JOIN ssets a ON p.id_a = a.doc_id JOIN ssets b ON p.id_b = b.doc_id
-)
+)"""
+
+
+def _neardup_verified_sql() -> str:
+    return f"""{_neardup_pair_ctes()}
 SELECT id_a, id_b, {_round4_sql('j')} AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+
+def _neardup_components_sql() -> str:
+    """Verified pairs → transitive closure (recursive CTE) → per-node min
+    reachable id — the SQL mirror of distributed min-label propagation."""
+    ctes = _neardup_pair_ctes().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return f"""{ctes},
+verified AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+und AS (SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM verified),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lbl) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component, (node = MIN(lbl))::BIGINT AS is_canonical
+FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
@@ -1904,6 +1954,7 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": _simhash_neardup_sql(),
     "minhash_lsh_buckets": _minhash_buckets_sql(),
     "neardup_verified": _neardup_verified_sql(),
+    "neardup_components": _neardup_components_sql(),
     "autocomplete": _autocomplete_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
     "bm25_term": _bm25_sql(["merge"], "or"),
@@ -2144,6 +2195,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     # rows-only (non-SQL-expressible) entries:
     "minhash_lsh_buckets": q_minhash_buckets,
     "neardup_verified": q_neardup_verified,
+    "neardup_components": q_neardup_components,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "langid": q_langid,

@@ -1,0 +1,85 @@
+"""connected_components: distributed min-label propagation over near-dup
+pairs — the pairs→groups step that finishes the dedup family.
+
+Oracle: a driver-side union-find over the same edge list (exact, any graph).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from meresco_lucene_ray.functions.dedup import connected_components
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(int(a))] = find(int(b))
+    members = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    return {x: min(m) for m in members.values() for x in m}
+
+
+def _run(edges, **kw):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "id_b": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+    out = connected_components(rd.from_arrow(t), **kw).to_pandas()
+    return dict(zip(out["node"].astype(int), out["component"].astype(int)))
+
+
+def test_triangle_pair_and_isolated_edge(ray_session):
+    got = _run([(20, 21), (21, 22), (20, 22), (30, 31), (5, 6)])
+    assert got == {20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 5: 5, 6: 5}
+
+
+def test_long_chain_converges_over_many_iterations(ray_session):
+    # a path graph is the worst case for min-label propagation: the label
+    # crawls one hop per iteration (diameter iterations to fixpoint)
+    n = 12
+    got = _run([(i, i + 1) for i in range(n)])
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_chain_reversed_ids_propagates_min_upward(ray_session):
+    got = _run([(i + 1, i) for i in range(8)])
+    assert got == {i: 0 for i in range(9)}
+
+
+def test_duplicate_and_reversed_pairs_are_deduped(ray_session):
+    got = _run([(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_matches_union_find_on_random_graph(ray_session):
+    rng = np.random.default_rng(3)
+    e = rng.integers(0, 200, size=(300, 2))
+    e = [(int(a), int(b)) for a, b in e if a != b]
+    assert _run(e) == _union_find_components(e)
+
+
+def test_matches_union_find_on_sparse_graph_with_big_ids(ray_session):
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 2**40, size=60, dtype=np.int64)
+    e = [(int(base[i]), int(base[(i * 7 + 1) % 60])) for i in range(60)]
+    e = [(a, b) for a, b in e if a != b]
+    assert _run(e) == _union_find_components(e)
+
+
+def test_max_iters_guard(ray_session):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _run([(i, i + 1) for i in range(10)], max_iters=2)
