@@ -706,6 +706,26 @@ def simhash_neardup_pairs(
 
 # ---------- duplicate-group connected components -----------------------------
 
+def _snap_nonempty(ds, empty: pa.Table):
+    """Materialize a Dataset and drop Ray 2.49's zero-row blocks, which carry
+    an EMPTY (zero-column) schema: a hash join whose input partition
+    concatenates one of those loses the key column ("No match ... for
+    FieldRef.Name(...)").  Block refs only — nothing is fetched to the
+    driver.  ``empty`` supplies the schema when every block is empty."""
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = [
+        block_ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for block_ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)
+
+
 def connected_components(
     pairs, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50, num_partitions: int = 8
 ):
@@ -731,28 +751,15 @@ def connected_components(
     in any pair, component = min node id reachable.  Singletons (docs in no
     pair) are implicitly their own component and never enter the loop.
     """
-    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
     def snap(ds):
-        # materialize AND drop empty blocks: Ray 2.49's groupby/map stages
-        # emit zero-row blocks with an EMPTY (zero-column) schema, and a
-        # hash join whose input partition concatenates one of those loses
-        # the key column ("No match ... for FieldRef.Name(node)").  Block
-        # refs only — nothing is fetched to the driver.
-        mat = ds.materialize()
-        refs = [
-            block_ref
-            for bundle in mat.iter_internal_ref_bundles()
-            for block_ref, meta in bundle.blocks
-            if meta.num_rows
-        ]
-        if not refs:
-            empty = pa.table(
+        return _snap_nonempty(
+            ds,
+            pa.table(
                 {"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())}
-            )
-            return rd.from_arrow(empty)
-        return rd.from_arrow_refs(refs)
+            ),
+        )
 
     def symmetric(t: pa.Table) -> pa.Table:
         a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -820,3 +827,46 @@ def connected_components(
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]), batch_format="pyarrow"
     )
+
+
+def dedup_keep_canonical(ds, components, id_col: str = "doc_id"):
+    """Filter a corpus down to one representative per duplicate group: drop
+    every row whose id appears in ``components`` with component != node
+    (non-canonical member), keep everything else — singletons never entered
+    the components table and stream through untouched.
+
+    Scale shape: a LEFT join of the corpus against the (small relative to
+    the corpus) components table on the id — Ray's hash-join shuffle keys
+    both sides on the id, no broadcast of the corpus, no driver state; the
+    filter afterwards is a vectorized Arrow kernel per batch."""
+
+    def drop_view(t: pa.Table) -> pa.Table:
+        # non-canonical members only — the rows to be dropped
+        keep = pc.not_equal(t["node"], t["component"])
+        return pa.table({id_col: t["node"].filter(keep)})
+
+    drops = _snap_nonempty(
+        components.map_batches(drop_view, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column("__drop__", pa.array(np.ones(len(t), dtype=np.int8))),
+            batch_format="pyarrow",
+        ),
+        pa.table(
+            {id_col: pa.array([], type=pa.int64()), "__drop__": pa.array([], type=pa.int8())}
+        ),
+    )
+    if drops.count() == 0:  # nothing to drop — and Ray 2.49's hash join
+        return ds           # cannot take an all-empty side at all
+    joined = ds.join(
+        drops,
+        join_type="left_outer",
+        num_partitions=8,
+        on=(id_col,),
+    )
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        if "__drop__" not in t.column_names:  # empty right side
+            return t
+        mask = pc.is_null(t["__drop__"])
+        return t.filter(mask).drop_columns(["__drop__"])
+
+    return joined.map_batches(keep_rows, batch_format="pyarrow")

@@ -771,6 +771,26 @@ def q_neardup_components(sf_dir: str) -> pa.Table:
     )
 
 
+def q_neardup_dedup_kept(sf_dir: str) -> pa.Table:
+    """The full dedup: LSH candidates → verified pairs → connected components
+    → keep-canonical filter over the CORPUS (left anti-join on doc id) — what
+    a training-data pipeline actually ships.  Returns the kept doc ids."""
+    from ..functions.dedup import (
+        connected_components,
+        dedup_keep_canonical,
+        minhash_lsh_candidates,
+        verify_neardup_pairs,
+    )
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    buckets = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32, bands=16, shingle_n=2)
+    pairs = verify_neardup_pairs(ds, buckets, "text", "doc_id", n=2, threshold=0.5)
+    comp = connected_components(pairs)
+    kept = dedup_keep_canonical(ds, comp, id_col="doc_id").select_columns(["doc_id"])
+    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype(np.int64))})
+
+
 def q_simhash(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
@@ -1611,6 +1631,26 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def _neardup_dedup_kept_sql() -> str:
+    """Corpus minus non-canonical duplicate-group members."""
+    ctes = _neardup_pair_ctes().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return f"""{ctes},
+verified AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+und AS (SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM verified),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lbl) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+ORDER BY d.doc_id
+"""
+
+
 def _autocomplete_sql() -> str:
     """Full O27 pipeline in SQL: title = first 4 tokens, 1..3-word shingles
     with counts, char-ngram AND candidate match for query 'th' (boundary
@@ -1955,6 +1995,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_buckets": _minhash_buckets_sql(),
     "neardup_verified": _neardup_verified_sql(),
     "neardup_components": _neardup_components_sql(),
+    "neardup_dedup_kept": _neardup_dedup_kept_sql(),
     "autocomplete": _autocomplete_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
     "bm25_term": _bm25_sql(["merge"], "or"),
@@ -2196,6 +2237,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "minhash_lsh_buckets": q_minhash_buckets,
     "neardup_verified": q_neardup_verified,
     "neardup_components": q_neardup_components,
+    "neardup_dedup_kept": q_neardup_dedup_kept,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "langid": q_langid,

@@ -83,3 +83,38 @@ def test_matches_union_find_on_sparse_graph_with_big_ids(ray_session):
 def test_max_iters_guard(ray_session):
     with pytest.raises(RuntimeError, match="did not converge"):
         _run([(i, i + 1) for i in range(10)], max_iters=2)
+
+
+def test_dedup_keep_canonical_filters_non_canonical(ray_session):
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.dedup import dedup_keep_canonical
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "text": [f"d{i}" for i in range(6)],
+        }
+    )
+    comp = pa.table(
+        {
+            "node": pa.array([1, 2, 4, 5], type=pa.int64()),
+            "component": pa.array([1, 1, 4, 4], type=pa.int64()),
+        }
+    )
+    out = dedup_keep_canonical(rd.from_arrow(docs), rd.from_arrow(comp)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3, 4]
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_dedup_keep_canonical_no_duplicates_passthrough(ray_session):
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.dedup import dedup_keep_canonical
+
+    docs = pa.table({"doc_id": pa.array([7, 8], type=pa.int64()), "text": ["a", "b"]})
+    comp = pa.table(
+        {"node": pa.array([], type=pa.int64()), "component": pa.array([], type=pa.int64())}
+    )
+    out = dedup_keep_canonical(rd.from_arrow(docs), rd.from_arrow(comp)).to_pandas()
+    assert sorted(out["doc_id"]) == [7, 8]
