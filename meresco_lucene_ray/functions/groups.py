@@ -1,0 +1,76 @@
+"""Grouped relational operators for training-data pipelines.
+
+``topk_per_group`` is the workhorse: "best k docs per repo / per language /
+per dedup cluster" — the selection step between scoring and packing in a
+curation pipeline.
+
+Scale shape: a map-side PARTIAL top-k inside every batch first (vectorized
+lexsort + run-length heads, no Python over rows), so at most k rows per
+(group, block) ever reach the shuffle; the final per-group reduction then
+runs over ≤ k·num_blocks candidate rows per group.  The wide step is Ray's
+groupby — hash-keyed on the group column, the one partitioning key the
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import strip_meta
+
+
+def _partial_topk_table(
+    t: pa.Table, group_col: str, order_col: str, k: int, descending: bool, tie_col: str | None
+) -> pa.Table:
+    """Vectorized per-group head-k of one batch: lexsort by (group, order,
+    tie), rank rows within their group run, keep rank < k."""
+    t = strip_meta(t)
+    if len(t) == 0:
+        return t
+    g = t[group_col]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    # dictionary-encode group values so the sort key is an int array
+    codes = g.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    v = t[order_col].to_numpy(zero_copy_only=False)
+    key = -v if descending else v
+    keys = (key, codes) if tie_col is None else (
+        t[tie_col].to_numpy(zero_copy_only=False), key, codes)
+    order = np.lexsort(keys)
+    sc = codes[order]
+    starts = np.zeros(sc.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = sc[1:] != sc[:-1]
+    run_id = np.cumsum(starts) - 1
+    run_start = np.flatnonzero(starts)
+    rank = np.arange(sc.size) - run_start[run_id]
+    keep = order[rank < k]
+    keep.sort()  # preserve input order for deterministic ties downstream
+    return t.take(pa.array(keep))
+
+
+def topk_per_group(
+    ds, group_col: str, order_col: str, k: int, descending: bool = True, tie_col: str | None = None
+):
+    """Top-k rows per group over a Dataset.
+
+    Two stages: (1) map-side partial top-k per batch — only k candidates per
+    (group, batch) cross the wire; (2) groupby(group) final top-k.  The final
+    per-group function is numpy over an already k·blocks-bounded candidate
+    set, not over the data.  Pass a unique ascending ``tie_col`` for fully
+    deterministic results (without it, ties resolve by input order within a
+    batch but arbitrarily across batches).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _partial_topk_table(t, group_col, order_col, k, descending, tie_col)
+
+    def final(t: pa.Table) -> pa.Table:
+        return _partial_topk_table(t, group_col, order_col, k, descending, tie_col)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -744,6 +744,27 @@ def q_neardup_verified(sf_dir: str) -> pa.Table:
     )
 
 
+def q_topk_per_group(sf_dir: str) -> pa.Table:
+    """Top-3 documents per language by length: the map-side-partial top-k
+    combiner pattern (≤ k rows per group per batch reach the shuffle)."""
+    from ..functions.groups import topk_per_group
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "lang", "n_chars"])
+    out = topk_per_group(
+        ds, "lang", "n_chars", k=3, descending=True, tie_col="doc_id"
+    ).to_pandas()
+    out = out.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].astype(str)),
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "n_chars": pa.array(out["n_chars"].astype(np.int64)),
+        }
+    )
+
+
 def q_neardup_components(sf_dir: str) -> pa.Table:
     """Dedup carried to GROUPS: LSH candidates → verified pairs → distributed
     connected components (min-label propagation over Ray hash joins) — the
@@ -1587,6 +1608,16 @@ FROM hashed GROUP BY band, band_hash HAVING count(*) >= 2
 """
 
 
+_TOPK_PER_GROUP_SQL = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+ORDER BY lang, n_chars DESC, doc_id
+"""
+
+
 def _neardup_pair_ctes() -> str:
     """Shared CTE chain of the candidate-then-verify pipeline (num_perm=32,
     bands=16, n=2): buckets → distinct pairs → exact shingle-set Jaccard."""
@@ -1995,6 +2026,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_buckets": _minhash_buckets_sql(),
     "neardup_verified": _neardup_verified_sql(),
     "neardup_components": _neardup_components_sql(),
+    "topk_per_group": _TOPK_PER_GROUP_SQL,
     "neardup_dedup_kept": _neardup_dedup_kept_sql(),
     "autocomplete": _autocomplete_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
@@ -2237,6 +2269,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "minhash_lsh_buckets": q_minhash_buckets,
     "neardup_verified": q_neardup_verified,
     "neardup_components": q_neardup_components,
+    "topk_per_group": q_topk_per_group,
     "neardup_dedup_kept": q_neardup_dedup_kept,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,

@@ -1,0 +1,72 @@
+"""topk_per_group: map-side partial top-k + per-group final reduction."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from meresco_lucene_ray.functions.groups import _partial_topk_table, topk_per_group
+
+
+def _pandas_topk(df, group, order, k, descending=True, tie=None):
+    by = [group, order] + ([tie] if tie else [])
+    asc = [True, not descending] + ([True] if tie else [])
+    return (
+        df.sort_values(by, ascending=asc, kind="mergesort")
+        .groupby(group, sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def test_partial_topk_table_single_batch():
+    t = pa.table(
+        {
+            "g": ["a", "b", "a", "a", "b", "c"],
+            "v": [5, 1, 9, 7, 3, 2],
+            "id": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    out = _partial_topk_table(t, "g", "v", 2, True, "id").to_pandas()
+    exp = {("a", 9), ("a", 7), ("b", 3), ("b", 1), ("c", 2)}
+    assert set(zip(out["g"], out["v"])) == exp
+
+
+def test_partial_topk_ascending_and_ties_resolved_by_tie_col():
+    t = pa.table({"g": ["x"] * 4, "v": [2, 2, 1, 2], "id": [30, 10, 99, 20]})
+    out = _partial_topk_table(t, "g", "v", 2, False, "id").to_pandas()
+    # ascending: v=1 first, then the v=2 with the smallest id
+    assert sorted(zip(out["v"], out["id"])) == [(1, 99), (2, 10)]
+
+
+def test_topk_per_group_matches_pandas_across_many_blocks(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 17, size=n).astype(str),
+            "v": rng.integers(0, 50, size=n),
+            "id": np.arange(n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    out = (
+        topk_per_group(ds, "g", "v", k=4, descending=True, tie_col="id")
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = _pandas_topk(df, "g", "v", 4, True, "id")
+    pd.testing.assert_frame_equal(
+        out[["g", "v", "id"]].astype({"v": np.int64, "id": np.int64}),
+        exp[["g", "v", "id"]].astype({"v": np.int64, "id": np.int64}),
+    )
+
+
+def test_topk_per_group_k_larger_than_group(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3], "id": [0, 1, 2]})
+    out = topk_per_group(rd.from_pandas(df), "g", "v", k=10, tie_col="id").to_pandas()
+    assert len(out) == 3
