@@ -74,3 +74,43 @@ def topk_per_group(
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def exact_quantiles(ds, col: str, qs) -> list[tuple[float, int]]:
+    """EXACT order statistics without a global sort: map-side per-batch value
+    counts → one groupby(value) sum — the driver then sees only the (distinct
+    value, count) HISTOGRAM, never the data.  Exact whenever the column's
+    distinct-value count is bounded (lengths, token counts, fixed-precision
+    quantized scores) — the standard 100 TB percentile shape; for unbounded
+    float columns quantize first.
+
+    Semantics match DuckDB's ``quantile_disc``: the value at rank
+    ``ceil(q·n) - 1`` of the sorted multiset.  Returns [(q, value), ...].
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = strip_meta(t)
+        g = pa.TableGroupBy(t.select([col]), col).aggregate([([], "count_all")])
+        return pa.table({col: g[col], "cnt": g["count_all"]})
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    values = hist[col].to_numpy()
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append((float(q), None))
+            continue
+        rank = max(int(np.ceil(q * n)) - 1, 0)
+        idx = int(np.searchsorted(cum, rank + 1, side="left"))
+        out.append((float(q), values[min(idx, len(values) - 1)]))
+    return out

@@ -765,6 +765,21 @@ def q_topk_per_group(sf_dir: str) -> pa.Table:
     )
 
 
+def q_quantiles_n_chars(sf_dir: str) -> pa.Table:
+    """Exact length percentiles via the distributed value-histogram shape
+    (groupby(value).sum — the driver sees counts, never rows)."""
+    from ..functions.groups import exact_quantiles
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["n_chars"])
+    qv = exact_quantiles(ds, "n_chars", (0.25, 0.5, 0.75, 0.9, 0.99))
+    return pa.table(
+        {
+            "q": pa.array([q for q, _ in qv], type=pa.float64()),
+            "value": pa.array([int(v) for _, v in qv], type=pa.int64()),
+        }
+    )
+
+
 def q_neardup_components(sf_dir: str) -> pa.Table:
     """Dedup carried to GROUPS: LSH candidates → verified pairs → distributed
     connected components (min-label propagation over Ray hash joins) — the
@@ -1618,6 +1633,16 @@ ORDER BY lang, n_chars DESC, doc_id
 """
 
 
+_QUANTILES_SQL = """
+SELECT 0.25 AS q, quantile_disc(n_chars, 0.25) AS value FROM documents
+UNION ALL SELECT 0.5, quantile_disc(n_chars, 0.5) FROM documents
+UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents
+UNION ALL SELECT 0.9, quantile_disc(n_chars, 0.9) FROM documents
+UNION ALL SELECT 0.99, quantile_disc(n_chars, 0.99) FROM documents
+ORDER BY q
+"""
+
+
 def _neardup_pair_ctes() -> str:
     """Shared CTE chain of the candidate-then-verify pipeline (num_perm=32,
     bands=16, n=2): buckets → distinct pairs → exact shingle-set Jaccard."""
@@ -2027,6 +2052,7 @@ ORACLES: dict[str, str] = {
     "neardup_verified": _neardup_verified_sql(),
     "neardup_components": _neardup_components_sql(),
     "topk_per_group": _TOPK_PER_GROUP_SQL,
+    "quantiles_n_chars": _QUANTILES_SQL,
     "neardup_dedup_kept": _neardup_dedup_kept_sql(),
     "autocomplete": _autocomplete_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
@@ -2270,6 +2296,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "neardup_verified": q_neardup_verified,
     "neardup_components": q_neardup_components,
     "topk_per_group": q_topk_per_group,
+    "quantiles_n_chars": q_quantiles_n_chars,
     "neardup_dedup_kept": q_neardup_dedup_kept,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,

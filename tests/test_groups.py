@@ -70,3 +70,30 @@ def test_topk_per_group_k_larger_than_group(ray_session):
     df = pd.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3], "id": [0, 1, 2]})
     out = topk_per_group(rd.from_pandas(df), "g", "v", k=10, tie_col="id").to_pandas()
     assert len(out) == 3
+
+
+def test_exact_quantiles_match_duckdb_disc(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.groups import exact_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 40, size=777)
+    df = pd.DataFrame({"x": vals})
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    got = exact_quantiles(rd.from_pandas(df).repartition(8), "x", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    for q, v in got:
+        (exp,) = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()
+        assert v == exp, (q, v, exp)
+
+
+def test_exact_quantiles_single_value(ray_session):
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.groups import exact_quantiles
+
+    got = exact_quantiles(rd.from_pandas(pd.DataFrame({"x": [7]})), "x", (0.0, 0.5, 1.0))
+    assert [v for _, v in got] == [7, 7, 7]
