@@ -773,6 +773,14 @@ def connected_components(
         return pa.table({"node": pa.array(src[first]), "nbr": pa.array(dst[first])})
 
     edges = snap(pairs.map_batches(symmetric, batch_format="pyarrow"))
+    if edges.count() == 0:  # no pairs → no components (Ray 2.49's hash join
+        import ray.data as rd  # cannot take an all-empty side)
+
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], type=pa.int64()), "component": pa.array([], type=pa.int64())}
+            )
+        )
 
     # label_0(u) = min(u, min N(u)) — the first propagation round fused into init
     def init_label(t: pa.Table) -> pa.Table:

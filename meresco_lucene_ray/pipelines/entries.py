@@ -706,6 +706,31 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     )
 
 
+def q_embedding_components(sf_dir: str) -> pa.Table:
+    """Embedding near-dup carried to GROUPS: blocked cosine pairs →
+    distributed connected components — same pairs→groups terminal step as
+    the text family, over the vector column."""
+    from ..functions.dedup import connected_components, embedding_neardup_pairs
+
+    import pandas as pd
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_neardup_pairs(ds, group_col="label", threshold=0.8)
+    comp = connected_components(pairs).to_pandas()
+    if comp.empty:  # Ray drops the columns of an all-empty dataset
+        comp = pd.DataFrame({"node": [], "component": []})
+    comp = comp.sort_values("node").reset_index(drop=True)
+    node = comp["node"].astype(np.int64)
+    label = comp["component"].astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(node),
+            "component": pa.array(label),
+            "is_canonical": pa.array((node == label).astype(np.int64)),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only entries (no SQL-expressible oracle)
 # --------------------------------------------------------------------------
@@ -2248,6 +2273,24 @@ SELECT e.vec_id,
 FROM e, q WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id LIMIT 10
 """,
+    "embedding_components": """
+WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+verified AS (
+  SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+),
+und AS (SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM verified),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lbl) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node AS vec_id, MIN(lbl) AS component, (node = MIN(lbl))::BIGINT AS is_canonical
+FROM reach GROUP BY node ORDER BY vec_id
+""",
     "embedding_neardup": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
@@ -2291,6 +2334,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "quality": q_quality,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_components": q_embedding_components,
     # rows-only (non-SQL-expressible) entries:
     "minhash_lsh_buckets": q_minhash_buckets,
     "neardup_verified": q_neardup_verified,

@@ -118,3 +118,13 @@ def test_dedup_keep_canonical_no_duplicates_passthrough(ray_session):
     )
     out = dedup_keep_canonical(rd.from_arrow(docs), rd.from_arrow(comp)).to_pandas()
     assert sorted(out["doc_id"]) == [7, 8]
+
+
+def test_connected_components_empty_pairs(ray_session):
+    import ray.data as rd
+
+    empty = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+    )
+    out = connected_components(rd.from_arrow(empty))
+    assert out.count() == 0
