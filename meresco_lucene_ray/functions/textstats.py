@@ -159,3 +159,98 @@ def hash_str(s: str) -> int:
     for ch in s.encode():
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+# ---------- corpus-frequent shingle (boilerplate) fraction -------------------
+
+class _ShingleRowsStage:
+    """map_batches stage: explode each doc to its DISTINCT word n-gram
+    shingle hashes — one (id, h) row per distinct shingle, vectorized
+    (segmented lexsort + run detection, no Python over tokens)."""
+
+    def __init__(self, id_col: str, text_col: str, n: int):
+        from .dedup import MinHasher
+
+        self.id_col = id_col
+        self._mh = MinHasher(text_col, num_perm=1, shingle_n=n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .hashing import strip_meta
+
+        batch = strip_meta(batch)
+        hv, sc = self._mh._shingle_hashes(batch)
+        doc_of = np.repeat(np.arange(sc.size, dtype=np.int64), sc)
+        order = np.lexsort((hv, doc_of))
+        d_s, h_s = doc_of[order], hv[order]
+        first = np.ones(h_s.size, dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d_s[first]]),
+                "h": pa.array(h_s[first].astype(np.int64)),
+            }
+        )
+
+
+def common_shingle_frac(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 2, min_df: int = 3):
+    """Boilerplate detection: per doc, the fraction of its distinct word
+    n-gram shingles that are corpus-frequent (document frequency ≥ min_df)
+    — the RefinedWeb/Gopher-style cross-document repetition signal that
+    catches license headers, generated scaffolding and template text.
+
+    Scale shape: docs explode ONCE to distinct (id, shingle-hash) rows; a
+    groupby(h) count (Ray partial-combines per block) produces the document
+    frequencies, which are hash-JOINED back onto the rows — everything is
+    keyed on the shingle hash, no broadcast frequency table, no driver
+    state.  A final groupby(id) folds (total, common) per doc.
+
+    Returns a Dataset of (doc_id, total_shingles, common_shingles, frac).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _snap_nonempty
+    from .hashing import cached_stage
+
+    def rows_stage(batch: pa.Table) -> pa.Table:
+        return cached_stage(_ShingleRowsStage, id_col, text_col, n)(batch)
+
+    rows = _snap_nonempty(
+        ds.map_batches(rows_stage, batch_format="pyarrow"),
+        pa.table({"doc_id": pa.array([], type=pa.int64()), "h": pa.array([], type=pa.int64())}),
+    )
+    dfreq = _snap_nonempty(
+        rows.groupby("h").aggregate(Count(alias_name="df")),
+        pa.table({"h": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}),
+    )
+    joined = rows.join(dfreq, join_type="inner", num_partitions=8, on=("h",))
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "is_common": pc.cast(
+                    pc.greater_equal(t["df"], pa.scalar(min_df, type=pa.int64())), pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = t["count()"] if "count()" in t.column_names else t["total"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "total_shingles": total,
+                "common_shingles": t["common"],
+                "frac": pc.divide(
+                    pc.cast(t["common"], pa.float64()), pc.cast(total, pa.float64())
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="total"), Sum("is_common", alias_name="common"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -805,6 +805,24 @@ def q_quantiles_n_chars(sf_dir: str) -> pa.Table:
     )
 
 
+def q_boilerplate_frac(sf_dir: str) -> pa.Table:
+    """Cross-document repetition: per-doc fraction of distinct 2-gram
+    shingles whose corpus document frequency ≥ 3 (boilerplate signal)."""
+    from ..functions.textstats import common_shingle_frac
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = common_shingle_frac(ds, "text", "doc_id", n=2, min_df=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "total_shingles": pa.array(out["total_shingles"].astype(np.int64)),
+            "common_shingles": pa.array(out["common_shingles"].astype(np.int64)),
+            "frac": pa.array(_round4(out["frac"].to_numpy())),
+        }
+    )
+
+
 def q_neardup_components(sf_dir: str) -> pa.Table:
     """Dedup carried to GROUPS: LSH candidates → verified pairs → distributed
     connected components (min-label propagation over Ray hash joins) — the
@@ -1668,6 +1686,31 @@ ORDER BY q
 """
 
 
+def _boilerplate_sql() -> str:
+    """n=2 shingles with the frozen max(1, L-1)-window semantics, distinct
+    per doc, document-frequency counts, per-doc common fraction."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2
+         THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tok
+),
+dsr AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+dfq AS (SELECT s, count(*)::BIGINT AS df FROM dsr GROUP BY s),
+per AS (
+  SELECT r.doc_id, count(*)::BIGINT AS total_shingles,
+         sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END)::BIGINT AS common_shingles
+  FROM dsr r JOIN dfq f ON r.s = f.s GROUP BY r.doc_id
+)
+SELECT doc_id, total_shingles, common_shingles,
+       {_round4_sql('common_shingles::DOUBLE / total_shingles::DOUBLE')} AS frac
+FROM per ORDER BY doc_id
+"""
+
+
 def _neardup_pair_ctes() -> str:
     """Shared CTE chain of the candidate-then-verify pipeline (num_perm=32,
     bands=16, n=2): buckets → distinct pairs → exact shingle-set Jaccard."""
@@ -2078,6 +2121,7 @@ ORACLES: dict[str, str] = {
     "neardup_components": _neardup_components_sql(),
     "topk_per_group": _TOPK_PER_GROUP_SQL,
     "quantiles_n_chars": _QUANTILES_SQL,
+    "boilerplate_frac": _boilerplate_sql(),
     "neardup_dedup_kept": _neardup_dedup_kept_sql(),
     "autocomplete": _autocomplete_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
@@ -2341,6 +2385,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "neardup_components": q_neardup_components,
     "topk_per_group": q_topk_per_group,
     "quantiles_n_chars": q_quantiles_n_chars,
+    "boilerplate_frac": q_boilerplate_frac,
     "neardup_dedup_kept": q_neardup_dedup_kept,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,

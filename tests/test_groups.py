@@ -97,3 +97,30 @@ def test_exact_quantiles_single_value(ray_session):
 
     got = exact_quantiles(rd.from_pandas(pd.DataFrame({"x": [7]})), "x", (0.0, 0.5, 1.0))
     assert [v for _, v in got] == [7, 7, 7]
+
+
+def test_common_shingle_frac_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.textstats import common_shingle_frac
+
+    texts = [
+        "the license header text",   # shares "the license" etc. with below
+        "the license header text",
+        "the license header text",
+        "unique content here now",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    out = (
+        common_shingle_frac(rd.from_pandas(df).repartition(3), "text", "doc_id", n=2, min_df=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # docs 0-2: every 2-gram appears in 3 docs -> frac 1.0
+    assert list(out.loc[out["doc_id"] < 3, "frac"]) == [1.0, 1.0, 1.0]
+    # doc 3: no shingle reaches df=3
+    assert float(out.loc[out["doc_id"] == 3, "frac"].iloc[0]) == 0.0
+    # empty doc contributes its single '' shingle (df=1 -> not common)
+    assert int(out.loc[out["doc_id"] == 4, "total_shingles"].iloc[0]) == 1
