@@ -727,7 +727,7 @@ def _snap_nonempty(ds, empty: pa.Table):
 
 
 def connected_components(
-    pairs, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50, num_partitions: int = 8
+    pairs, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50, num_partitions: int | None = None
 ):
     """Distributed connected components over a (id_a, id_b) pair Dataset by
     min-label propagation: every node repeatedly adopts the smallest label
@@ -781,6 +781,10 @@ def connected_components(
                 {"node": pa.array([], type=pa.int64()), "component": pa.array([], type=pa.int64())}
             )
         )
+
+    if num_partitions is None:
+        # scale the join shuffle with the edge set (block count is metadata)
+        num_partitions = max(8, edges.num_blocks())
 
     # label_0(u) = min(u, min N(u)) — the first propagation round fused into init
     def init_label(t: pa.Table) -> pa.Table:
