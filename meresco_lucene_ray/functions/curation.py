@@ -275,3 +275,75 @@ def seqpack_windows(
         )
 
     return counts_ds.groupby("part").map_groups(pack, batch_format="pyarrow")
+
+
+# ---- token-window chunking --------------------------------------------------
+
+def chunk_token_windows(
+    ds, text_col: str = "text", id_col: str = "doc_id", chunk: int = 64, stride: int = 48
+):
+    """Split documents into overlapping token windows — the doc→training-
+    example step of a pretraining pipeline (context windows with
+    ``chunk - stride`` tokens of overlap).
+
+    Window spec (frozen, SQL-mirrored): window i covers tokens
+    ``[i·stride, i·stride + chunk)`` for ``i·stride < max(L, 1)`` — every
+    doc yields ≥ 1 window (an empty doc yields one empty chunk), trailing
+    windows may be short.
+
+    Fully vectorized: the ragged window→token index fan-out is the same
+    repeat/arange machinery as the MinHash shingler, chunk text is
+    assembled with one Arrow ``binary_join`` — no Python over tokens.
+    A pure flat-map: no shuffle, streams at corpus scale.
+    """
+    from .hashing import ragged_arange
+
+    def chunker(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
+        codes, _doc_idx, dic, dl = arrow_tokens(batch[text_col])
+        L = dl.astype(np.int64)
+        eff = np.maximum(L, 1)
+        w = ((eff + stride - 1) // stride).astype(np.int64)  # windows per doc
+        chunk_idx = ragged_arange(w)
+        starts_within = chunk_idx * stride
+        L_rep = np.repeat(L, w)
+        win_len = np.clip(L_rep - starts_within, 0, chunk)
+        doc_starts = np.concatenate(([0], np.cumsum(L)[:-1]))
+        win_tok_start = np.repeat(doc_starts, w) + starts_within
+        flat_idx = np.repeat(win_tok_start, win_len) + ragged_arange(win_len)
+        token_arr = dic.take(pa.array(codes, type=pa.int32()))
+        win_tokens = token_arr.take(pa.array(flat_idx, type=pa.int64()))
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(win_len))).astype(np.int32)
+        )
+        text = pc.binary_join(pa.ListArray.from_arrays(offsets, win_tokens), " ")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, w)),
+                "chunk_idx": pa.array(chunk_idx),
+                "n_tokens": pa.array(win_len),
+                "chunk_text": text,
+            }
+        )
+
+    return ds.map_batches(chunker, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 42):
+    """Seeded global permutation for training-order reproducibility: sort by
+    FNV-1a of ``"{seed}:{id}"`` — the same corpus + seed always yields the
+    same order on any cluster size (unlike ``random_shuffle``, which is
+    placement-dependent).  One range-partitioned sort, no driver state."""
+
+    def key_stage(t: pa.Table) -> pa.Table:
+        t = strip_meta(t)
+        ids = pc.cast(t[id_col], pa.string())
+        keyed = pc.binary_join_element_wise(
+            pa.scalar(f"{seed}"), ids, ":"
+        )
+        # mask to 63 bits (nonneg int64) — mirrored in SQL as % 2^63
+        h = (fnv1a_arrow(keyed) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return t.append_column("__shuffle_key__", pa.array(h))
+
+    return ds.map_batches(key_stage, batch_format="pyarrow").sort("__shuffle_key__")

@@ -823,6 +823,39 @@ def q_boilerplate_frac(sf_dir: str) -> pa.Table:
     )
 
 
+def q_chunk_windows(sf_dir: str) -> pa.Table:
+    """Doc → overlapping token-window chunks (chunk=32, stride=24): the
+    training-example splitting step, a pure vectorized flat-map."""
+    from ..functions.curation import chunk_token_windows
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = chunk_token_windows(ds, "text", "doc_id", chunk=32, stride=24).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "chunk_idx": pa.array(out["chunk_idx"].astype(np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].astype(np.int64)),
+            "chunk_text": pa.array(out["chunk_text"].astype(str)),
+        }
+    )
+
+
+def q_det_shuffle_head(sf_dir: str) -> pa.Table:
+    """First 25 docs of the seeded deterministic global shuffle (FNV-keyed
+    sort — reproducible training order on any cluster size)."""
+    from ..functions.curation import deterministic_shuffle
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id"])
+    out = deterministic_shuffle(ds, "doc_id", seed=7).limit(25).to_pandas()
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "key": pa.array(out["__shuffle_key__"].astype(np.int64)),
+        }
+    )
+
+
 def q_neardup_components(sf_dir: str) -> pa.Table:
     """Dedup carried to GROUPS: LSH candidates → verified pairs → distributed
     connected components (min-label propagation over Ray hash joins) — the
@@ -1711,6 +1744,31 @@ FROM per ORDER BY doc_id
 """
 
 
+def _chunk_windows_sql(chunk: int = 32, stride: int = 24) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+    [struct_pack(ci := s // {stride},
+                 nt := len(toks[s+1:s+{chunk}]),
+                 txt := array_to_string(toks[s+1:s+{chunk}], ' '))
+     for s in range(0, greatest(len(toks), 1), {stride})] AS lst
+  FROM tok
+),
+u AS (SELECT doc_id, unnest(lst) AS c FROM w)
+SELECT doc_id, c.ci::BIGINT AS chunk_idx, c.nt::BIGINT AS n_tokens, c.txt AS chunk_text
+FROM u ORDER BY doc_id, chunk_idx
+"""
+
+
+def _det_shuffle_sql(seed: int = 7, k: int = 25) -> str:
+    fnv = _fnv_sql(f"('{seed}:' || doc_id::VARCHAR)")
+    return f"""
+SELECT doc_id, (({fnv}) % 9223372036854775808::HUGEINT)::BIGINT AS key
+FROM documents ORDER BY key LIMIT {k}
+"""
+
+
 def _neardup_pair_ctes() -> str:
     """Shared CTE chain of the candidate-then-verify pipeline (num_perm=32,
     bands=16, n=2): buckets → distinct pairs → exact shingle-set Jaccard."""
@@ -2122,6 +2180,8 @@ ORACLES: dict[str, str] = {
     "topk_per_group": _TOPK_PER_GROUP_SQL,
     "quantiles_n_chars": _QUANTILES_SQL,
     "boilerplate_frac": _boilerplate_sql(),
+    "chunk_windows": _chunk_windows_sql(),
+    "det_shuffle_head": _det_shuffle_sql(),
     "neardup_dedup_kept": _neardup_dedup_kept_sql(),
     "autocomplete": _autocomplete_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
@@ -2386,6 +2446,8 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "topk_per_group": q_topk_per_group,
     "quantiles_n_chars": q_quantiles_n_chars,
     "boilerplate_frac": q_boilerplate_frac,
+    "chunk_windows": q_chunk_windows,
+    "det_shuffle_head": q_det_shuffle_head,
     "neardup_dedup_kept": q_neardup_dedup_kept,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
