@@ -739,9 +739,9 @@ def connected_components(
     Scale shape: edges are materialized ONCE (symmetric, deduped per batch)
     and each iteration is one hash join (labels onto edge sources) plus one
     groupby-min — both Ray-native shuffles keyed on the node id, no driver
-    state, no per-group Python.  Iteration count is the largest component
-    diameter; dedup graphs are dense clusters of near-identical docs, so in
-    practice a handful (a pathological chain still converges, see
+    state, no per-group Python.  Pointer jumping (each node also adopts its
+    label's label) makes the round count O(log diameter) — a pathological
+    chain converges in a handful of rounds, a dense dup cluster in 2-3 (see
     tests/test_connected_components.py::test_long_chain).  Convergence is
     detected EXACTLY: each round counts nodes whose label improved (an
     aggregate over the grouped union, no label-sum overflow games at 10^12
@@ -820,11 +820,34 @@ def connected_components(
             }
         )
 
+    def as_lookup(t: pa.Table) -> pa.Table:
+        # labels rekeyed by their own node id, to be joined on a LABEL value
+        return pa.table({"label": t["node"], "label2": t["label"]})
+
+    def jump_view(t: pa.Table) -> pa.Table:
+        # pointer jumping: node u also hears label(label(u)) — halves the
+        # remaining distance to the component min each round, so a chain of
+        # diameter d converges in O(log d) rounds instead of d
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["label2"],
+                "old": pa.array(np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)),
+            }
+        )
+
     for _ in range(max_iters):
         msgs = edges.join(labels, join_type="inner", num_partitions=num_partitions, on=("node",))
+        jumped = labels.join(
+            labels.map_batches(as_lookup, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("label",),
+        )
         folded = (
             msgs.map_batches(msg_view, batch_format="pyarrow")
             .union(labels.map_batches(self_view, batch_format="pyarrow"))
+            .union(jumped.map_batches(jump_view, batch_format="pyarrow"))
             .groupby("node")
             .aggregate(Min("label"), Min("old"))
             .map_batches(fold, batch_format="pyarrow")
