@@ -29,9 +29,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query.  52 of 54 entries are SQL-mirrored
-    (incl. the FNV-hash family, autocomplete and multiprobe LSH ANN via
-    HUGEINT/list_reduce SQL); only cluster_topdocs (DBSCAN+PageRank) and
+    """DuckDB-equivalent SQL per query.  60 of 62 entries are SQL-mirrored
+    (incl. the FNV-hash family, autocomplete, multiprobe LSH ANN, recursive-
+    CTE transitive closures for the connected-components family, and the
+    stride-range chunking spec); only cluster_topdocs (DBSCAN+PageRank) and
     media_features (binary decode) are rows-only — both golden-pinned in
     tests/test_rows_only_goldens.py."""
     from meresco_lucene_ray.pipelines.entries import ORACLES
