@@ -254,3 +254,361 @@ def common_shingle_frac(ds, text_col: str = "text", id_col: str = "doc_id", n: i
         .aggregate(Count(alias_name="total"), Sum("is_common", alias_name="common"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ---------- TF-IDF keywords / unigram LM / collocations -----------------------
+
+class _DocTermRowsStage:
+    """map_batches stage: explode docs to (id, term, tf, dl) rows — one row
+    per distinct (doc, term), vectorized (dictionary codes + one segmented
+    ``np.unique``, no Python over tokens).  The shared front half of the
+    TF-IDF / unigram-LM family; every downstream stat is a groupby or hash
+    join keyed on ``term``."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..analysis import arrow_tokens
+
+        batch = strip_meta(batch)
+        codes, doc_idx, dic, dl = arrow_tokens(batch[self.text_col])
+        if codes.size == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=batch[self.id_col].type),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                }
+            )
+        n_dict = len(dic)
+        key = doc_idx.astype(np.int64) * n_dict + codes.astype(np.int64)
+        uk, tf = np.unique(key, return_counts=True)
+        d = (uk // n_dict).astype(np.int64)
+        c = (uk % n_dict).astype(np.int32)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                self.id_col: ids.take(pa.array(d)),
+                "term": pc.take(dic, pa.array(c)),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(np.asarray(dl, dtype=np.int64)[d]),
+            }
+        )
+
+
+def _topk_score_rows(t: pa.Table, id_col: str, k: int) -> pa.Table:
+    """Per-group head-k by (score desc, term asc): ONE Arrow C sort over
+    (id, -score, term), then a numpy run-rank on the group column — no
+    per-row Python compares (np.lexsort on string columns would be one)."""
+    if len(t) == 0:
+        return t
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[(id_col, "ascending"), ("score", "descending"), ("term", "ascending")],
+    )
+    t2 = t.take(idx)
+    d = t2[id_col].to_numpy(zero_copy_only=False)
+    starts = np.ones(len(d), dtype=bool)
+    starts[1:] = d[1:] != d[:-1]
+    run_start = np.flatnonzero(starts)
+    run_id = np.cumsum(starts) - 1
+    rank = np.arange(len(d)) - run_start[run_id]
+    return t2.filter(pa.array(rank < k))
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Per-doc top-k terms by TF-IDF (score = tf · ln(n/df), ties broken by
+    term) — the classic keyword-extraction operator.
+
+    Scale shape: docs explode ONCE to (id, term, tf) rows; document
+    frequencies come from a groupby(term) count (Ray partial-combines per
+    block) and are hash-JOINED back on ``term`` — no broadcast vocabulary,
+    no driver state.  After the join a doc's rows are scattered across
+    partitions, so top-k runs twice: a conservative map-side partial per
+    block (any block's per-doc top-k superset-contains the global one),
+    then the exact per-group final — only k·blocks candidate rows reach
+    the last shuffle.  Score is quantized to 4 decimals BEFORE ranking so
+    the ordering is reproducible across summation orders (and mirrors the
+    DuckDB oracle bit-for-bit).
+    """
+    from ray.data.aggregate import Count
+
+    from .dedup import _snap_nonempty
+    from .hashing import cached_stage
+
+    n_docs = float(ds.count())
+
+    def rows_stage(batch: pa.Table) -> pa.Table:
+        return cached_stage(_DocTermRowsStage, id_col, text_col)(batch)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "dl": pa.array([], type=pa.int64()),
+        }
+    )
+    rows = _snap_nonempty(ds.map_batches(rows_stage, batch_format="pyarrow"), empty)
+    dfreq = _snap_nonempty(
+        rows.groupby("term").aggregate(Count(alias_name="df")),
+        pa.table({"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}),
+    )
+    joined = rows.join(dfreq, join_type="inner", num_partitions=8, on=("term",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log(n_docs / df)
+        s = np.floor(s * 10000 + 0.5) / 10000  # quantize BEFORE ranking
+        out = t.select([id_col, "term", "tf"])
+        return out.append_column("score", pa.array(s))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _topk_score_rows(t, id_col, k)
+
+    def final(t: pa.Table) -> pa.Table:
+        return _topk_score_rows(t, id_col, k)
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc mean unigram surprisal (mean over tokens of ln(N/cf), N =
+    corpus token count, cf = the token's collection frequency) — the cheap
+    corpus-self-trained LM quality score (CCNet-style perplexity filtering's
+    little sibling): low = templated/common text, high = rare-token soup.
+
+    Same shape as :func:`tfidf_top_terms`: one explode, one groupby(term)
+    Sum for collection frequencies, one hash join back on term, one
+    groupby(id) fold — everything keyed on ``term`` / ``id``, nothing
+    driver-side but two scalar aggregates.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _snap_nonempty
+    from .hashing import cached_stage
+
+    def rows_stage(batch: pa.Table) -> pa.Table:
+        return cached_stage(_DocTermRowsStage, id_col, text_col)(batch)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "dl": pa.array([], type=pa.int64()),
+        }
+    )
+    rows = _snap_nonempty(ds.map_batches(rows_stage, batch_format="pyarrow"), empty)
+    cf = _snap_nonempty(
+        rows.groupby("term").aggregate(Sum("tf", alias_name="cf")),
+        pa.table({"term": pa.array([], type=pa.string()), "cf": pa.array([], type=pa.int64())}),
+    )
+    n_tokens = float(cf.sum("cf"))
+    joined = rows.join(cf, join_type="inner", num_partitions=8, on=("term",))
+
+    def nll(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["cf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # tf · (ln N − ln cf): composed EXACTLY like the SQL mirror
+        v = tf * (np.log(n_tokens) - np.log(c))
+        return pa.table({id_col: t[id_col], "nll": pa.array(v), "tf": t["tf"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["nll"].to_numpy(zero_copy_only=False)
+        n = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.floor(s / n * 10000 + 0.5) / 10000
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pc.cast(t["tf"], pa.int64()),
+                "mean_nll": pa.array(mean),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        joined.map_batches(nll, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(_Sum("nll", alias_name="nll"), _Sum("tf", alias_name="tf"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+class _BigramRowsStage:
+    """map_batches stage: per-batch partial bigram counts (w1, w2, cnt) over
+    adjacent in-doc token pairs — vectorized (code-pair keys + np.unique)."""
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..analysis import arrow_tokens
+
+        batch = strip_meta(batch)
+        codes, doc_idx, dic, _dl = arrow_tokens(batch[self.text_col])
+        if codes.size < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        adj = doc_idx[1:] == doc_idx[:-1]
+        a = codes[:-1][adj].astype(np.int64)
+        b = codes[1:][adj].astype(np.int64)
+        n_dict = len(dic)
+        uk, cnt = np.unique(a * n_dict + b, return_counts=True)
+        return pa.table(
+            {
+                "w1": pc.take(dic, pa.array((uk // n_dict).astype(np.int32))),
+                "w2": pc.take(dic, pa.array((uk % n_dict).astype(np.int32))),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def collocations_pmi(ds, text_col: str = "text", min_count: int = 25, top: int = 20):
+    """Corpus-level collocations: top-N adjacent-token bigrams by pointwise
+    mutual information, pmi = ln(cnt) − ln(Np) − ln(c1) − ln(c2) + 2·ln(Nt)
+    (cnt = bigram count, Np = total pairs, c1/c2 = unigram counts, Nt =
+    total tokens), with a min-count support floor.
+
+    Scale shape: map-side partial bigram counts per block (np.unique over
+    code pairs — the combiner) → ONE groupby(w1,w2) sum; the support floor
+    prunes the long tail BEFORE the two small hash joins that attach
+    unigram counts, so the scored set is tiny; the final top-N is a sort
+    over that pruned set only.  ln terms are composed in the exact same
+    order as the DuckDB mirror so round4(pmi) is reproducible.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _snap_nonempty
+    from .hashing import cached_stage
+
+    def rows_stage(batch: pa.Table) -> pa.Table:
+        return cached_stage(_BigramRowsStage, text_col)(batch)
+
+    def uni_stage(batch: pa.Table) -> pa.Table:
+        from ..analysis import arrow_tokens
+
+        batch = strip_meta(batch)
+        codes, _doc_idx, dic, _dl = arrow_tokens(batch[text_col])
+        if codes.size == 0:
+            return pa.table(
+                {"w": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+            )
+        uk, c = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "w": pc.take(dic, pa.array(uk.astype(np.int32))),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    pairs = _snap_nonempty(
+        ds.map_batches(rows_stage, batch_format="pyarrow"),
+        pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+    big = _snap_nonempty(
+        pairs.groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")),
+        pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+    n_pairs = float(big.sum("cnt"))
+    uni = _snap_nonempty(
+        ds.map_batches(uni_stage, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c")),
+        pa.table({"w": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}),
+    )
+    n_tokens = float(uni.sum("c"))
+
+    def floor_(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["cnt"], pa.scalar(min_count, type=pa.int64())))
+
+    supported = _snap_nonempty(
+        big.map_batches(floor_, batch_format="pyarrow"),
+        pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+
+    def as_u1(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["w1", "c1"])
+
+    def as_u2(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["w2", "c2"])
+
+    # snap between the chained joins: a zero-row join partition carries a
+    # ZERO-COLUMN block, and the second join's aggregator then fails with
+    # "No match ... FieldRef.Name(w2) on left side" (same Ray 2.49 issue
+    # _snap_nonempty exists for; bites whenever partitions outnumber rows)
+    j1 = _snap_nonempty(
+        supported.join(
+            uni.map_batches(as_u1, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=4,
+            on=("w1",),
+        ),
+        pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+                "c1": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+    joined = j1.join(
+        uni.map_batches(as_u2, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=4,
+        on=("w2",),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = (
+            np.log(cnt) - np.log(n_pairs) - np.log(c1) - np.log(c2) + 2.0 * np.log(n_tokens)
+        )
+        pmi = np.floor(pmi * 10000 + 0.5) / 10000
+        return pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "pair_cnt": t["cnt"], "pmi": pa.array(pmi)}
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .sort(key=["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(top)
+    )

@@ -600,6 +600,60 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Per-doc top-3 terms by TF-IDF (tf · ln(n/df), ties by term) — keyword
+    extraction: one explode to (doc, term, tf) rows, df via groupby(term),
+    hash join back on term, two-stage per-doc top-k."""
+    from ..functions.textstats import tfidf_top_terms
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, "text", "doc_id", k=3).to_pandas()
+    out = out.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "term": pa.array(out["term"].astype(str)),
+            "tf": pa.array(out["tf"].astype(np.int64)),
+            "score": pa.array(out["score"].astype(np.float64)),
+        }
+    )
+
+
+def q_unigram_logprob(sf_dir: str) -> pa.Table:
+    """Per-doc mean unigram surprisal (corpus-self-trained LM score, the
+    cheap CCNet-style quality signal): collection frequencies via
+    groupby(term) sum, joined back on term, per-doc fold."""
+    from ..functions.textstats import unigram_logprob
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "text"])
+    out = unigram_logprob(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].astype(np.int64)),
+            "mean_nll": pa.array(out["mean_nll"].astype(np.float64)),
+        }
+    )
+
+
+def q_collocations_pmi(sf_dir: str) -> pa.Table:
+    """Corpus collocations: top-20 adjacent bigrams by PMI with a min-count
+    floor — map-side partial pair counts, one groupby(w1,w2), support-floor
+    prune before the unigram joins, sort over the pruned set only."""
+    from ..functions.textstats import collocations_pmi
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["text"])
+    out = collocations_pmi(ds, "text", min_count=25, top=20).to_pandas()
+    return pa.table(
+        {
+            "w1": pa.array(out["w1"].astype(str)),
+            "w2": pa.array(out["w2"].astype(str)),
+            "pair_cnt": pa.array(out["pair_cnt"].astype(np.int64)),
+            "pmi": pa.array(out["pmi"].astype(np.float64)),
+        }
+    )
+
+
 def q_token_stats(sf_dir: str) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -2158,7 +2212,52 @@ FROM pre GROUP BY 1 ORDER BY 1
 """
 
 
+_TFIDF_SQL = f"""{SQL_PROLOGUE},
+pos AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+dt AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM pos GROUP BY doc_id, w),
+df AS (SELECT w, count(*)::DOUBLE AS df FROM dt GROUP BY w),
+sc AS (
+  SELECT dt.doc_id, dt.w AS term, dt.tf::BIGINT AS tf,
+         {_round4_sql("dt.tf * ln(s.n / df.df)")} AS score
+  FROM dt JOIN df USING (w), stats s
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS r FROM sc
+)
+SELECT doc_id, term, tf, score FROM rk WHERE r <= 3
+ORDER BY doc_id, score DESC, term
+"""
+
+_UNIGRAM_LOGPROB_SQL = f"""{SQL_PROLOGUE},
+pos AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+cf AS (SELECT w, count(*)::DOUBLE AS c FROM pos GROUP BY w),
+nt AS (SELECT count(*)::DOUBLE AS n FROM pos)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       {_round4_sql("sum(ln(nt.n) - ln(cf.c)) / count(*)")} AS mean_nll
+FROM pos JOIN cf USING (w), nt
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+_PMI_SQL = f"""{SQL_PROLOGUE},
+pos AS (
+  SELECT doc_id, toks, unnest(toks) AS w, generate_subscripts(toks, 1) AS o FROM tok
+),
+bi AS (SELECT w AS w1, toks[o+1] AS w2 FROM pos WHERE o < len(toks)),
+big AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM bi GROUP BY w1, w2),
+np_ AS (SELECT count(*)::DOUBLE AS n FROM bi),
+uni AS (SELECT w, count(*)::DOUBLE AS c FROM pos GROUP BY w),
+nt AS (SELECT count(*)::DOUBLE AS n FROM pos)
+SELECT b.w1, b.w2, b.cnt AS pair_cnt,
+       {_round4_sql("ln(b.cnt) - ln(np_.n) - ln(u1.c) - ln(u2.c) + 2*ln(nt.n)")} AS pmi
+FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w, np_, nt
+WHERE b.cnt >= 25
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
 ORACLES: dict[str, str] = {
+    "tfidf_top_terms": _TFIDF_SQL,
+    "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+    "collocations_pmi": _PMI_SQL,
     "pii_redact": _pii_redact_sql(),
     "bpe_tokens": _bpe_tokens_sql(),
     "curate_pack": _curate_pack_sql(),
@@ -2435,6 +2534,9 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "join_sort": q_join_sort,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "unigram_logprob": q_unigram_logprob,
+    "collocations_pmi": q_collocations_pmi,
     "quality": q_quality,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
