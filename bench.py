@@ -267,6 +267,11 @@ def run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             MLR_BENCH_DOCS=str(SCALING_DOCS),
             MLR_BENCH_SKIP_ENTRIES="1",
+            # scaling legs: 3 interleaved build reps per leg (5 × 6 legs at
+            # 400k docs overran an hour under host-noise bursts); the legs
+            # are themselves interleaved best-of-REPS, so burst coverage
+            # comes from the outer loop
+            MLR_BENCH_BUILD_REPS=os.environ.get("MLR_BENCH_BUILD_REPS", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -114,3 +114,59 @@ def exact_quantiles(ds, col: str, qs) -> list[tuple[float, int]]:
         idx = int(np.searchsorted(cum, rank + 1, side="left"))
         out.append((float(q), values[min(idx, len(values) - 1)]))
     return out
+
+
+def grouped_quantiles(ds, group_col: str, col: str, qs):
+    """EXACT per-group order statistics: the histogram trick of
+    :func:`exact_quantiles` with the group key carried through — map-side
+    per-batch (group, value) counts → one groupby((group, value)) sum → a
+    per-group fold over each group's own tiny histogram.  No global sort,
+    no per-group row materialization; the fold sees (distinct values ×
+    groups) rows only.  Semantics match DuckDB ``quantile_disc`` per group:
+    value at rank ``ceil(q·n) − 1`` of the group's sorted multiset.
+
+    Returns a Dataset of (group, q, value) rows, len(qs) per group.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    qs = tuple(float(q) for q in qs)
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = strip_meta(t)
+        g = pa.TableGroupBy(t.select([group_col, col]), [group_col, col]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {group_col: g[group_col], col: g[col], "cnt": g["count_all"]}
+        )
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby([group_col, col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def per_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(col, "ascending")])
+        t2 = t.take(idx)
+        v = t2[col].to_numpy(zero_copy_only=False)
+        cum = t2["cnt"].to_numpy(zero_copy_only=False).cumsum()
+        n = int(cum[-1])
+        vals = []
+        for q in qs:
+            rank = max(int(np.ceil(q * n)) - 1, 0)
+            i = int(np.searchsorted(cum, rank + 1, side="left"))
+            vals.append(v[min(i, len(v) - 1)])
+        gcol = t2[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return pa.table(
+            {
+                group_col: pa.array([gcol[0].as_py()] * len(qs), type=gcol.type),
+                "q": pa.array(qs, type=pa.float64()),
+                "value": pa.array(vals, type=t2[col].type),
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(per_group, batch_format="pyarrow")

@@ -859,6 +859,143 @@ def q_quantiles_n_chars(sf_dir: str) -> pa.Table:
     )
 
 
+def q_events_rolling(sf_dir: str) -> pa.Table:
+    """Per-user trailing 3-event moving average over the events stream —
+    one groupby(user) shuffle, vectorized cumsum-difference fold per group."""
+    from ..functions.temporal import rolling_mean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = (
+        rolling_mean(ds, "user_id", "ts", "event_id", "value", window=3)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype(np.int64)),
+            "user_id": pa.array(out["user_id"].astype(np.int64)),
+            "value": pa.array(out["value"].astype(np.float64)),
+            "rolling_avg": pa.array(out["rolling_avg"].astype(np.float64)),
+        }
+    )
+
+
+def q_star_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shaped star join over the RAW tables (not the index): filter
+    each dimension at the read (pruned columns + vectorized predicates),
+    hash-join customer→orders→lineitem smallest-first, map-side revenue,
+    ONE groupby aggregate, top-10 over the aggregated (small) set."""
+    import ray.data as rd
+
+    cut = np.datetime64("1998-06-01", "us")  # us unit → timestamp[us] scalar
+
+    def cust_f(t: pa.Table) -> pa.Table:
+        t = _strip_batch(t)
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+
+    def ord_f(t: pa.Table) -> pa.Table:
+        t = _strip_batch(t)
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cut))).select(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+
+    def line_f(t: pa.Table) -> pa.Table:
+        t = _strip_batch(t)
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_f, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_f, batch_format="pyarrow")
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_f, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _snap_nonempty
+
+    co = _snap_nonempty(
+        orders.join(
+            cust.map_batches(
+                lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=4,
+            on=("o_custkey",),
+        ),
+        pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "o_orderdate": pa.array([], type=pa.timestamp("us")),
+            }
+        ),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]).rename_columns(
+            ["l_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = line.join(co, join_type="inner", num_partitions=8, on=("l_orderkey",))
+
+    def round_rev(t: pa.Table) -> pa.Table:
+        r = np.floor(t["rev"].to_numpy(zero_copy_only=False) * 100 + 0.5) / 100
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "revenue": pa.array(r),
+            }
+        )
+
+    # top-10 stays distributed: sort+limit over the aggregated set only
+    agg = (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="rev"))
+        .map_batches(round_rev, batch_format="pyarrow")
+        .sort(key=["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(agg["l_orderkey"].astype(np.int64)),
+            "o_orderdate": pa.array(agg["o_orderdate"]),
+            "revenue": pa.array(agg["revenue"].astype(np.float64)),
+        }
+    )
+
+
+def q_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """Per-lang exact n_chars percentiles via the grouped value-histogram
+    (no global sort; the fold sees distinct-value counts only)."""
+    from ..functions.groups import grouped_quantiles
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["lang", "n_chars"])
+    out = (
+        grouped_quantiles(ds, "lang", "n_chars", (0.25, 0.5, 0.9))
+        .to_pandas()
+        .sort_values(["lang", "q"])
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].astype(str)),
+            "q": pa.array(out["q"].astype(np.float64)),
+            "value": pa.array(out["value"].astype(np.int64)),
+        }
+    )
+
+
 def q_boilerplate_frac(sf_dir: str) -> pa.Table:
     """Cross-document repetition: per-doc fraction of distinct 2-gram
     shingles whose corpus document frequency ≥ 3 (boilerplate signal)."""
@@ -2254,7 +2391,41 @@ WHERE b.cnt >= 25
 ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
 
+_GROUPED_QUANTILES_SQL = """
+SELECT lang, 0.25::DOUBLE AS q, quantile_disc(n_chars, 0.25)::BIGINT AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.5::DOUBLE AS q, quantile_disc(n_chars, 0.5)::BIGINT AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.9::DOUBLE AS q, quantile_disc(n_chars, 0.9)::BIGINT AS value
+FROM documents GROUP BY lang
+ORDER BY lang, q
+"""
+
+_EVENTS_ROLLING_SQL = f"""
+SELECT event_id, user_id, value,
+  {_round4_sql("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS rolling_avg
+FROM events ORDER BY event_id
+"""
+
+_STAR_REVENUE_SQL = """
+SELECT l.l_orderkey, o.o_orderdate,
+  floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
 ORACLES: dict[str, str] = {
+    "events_rolling": _EVENTS_ROLLING_SQL,
+    "star_revenue": _STAR_REVENUE_SQL,
+    "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     "collocations_pmi": _PMI_SQL,
@@ -2547,6 +2718,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "neardup_components": q_neardup_components,
     "topk_per_group": q_topk_per_group,
     "quantiles_n_chars": q_quantiles_n_chars,
+    "grouped_quantiles": q_grouped_quantiles,
     "boilerplate_frac": q_boilerplate_frac,
     "chunk_windows": q_chunk_windows,
     "det_shuffle_head": q_det_shuffle_head,
@@ -2562,6 +2734,8 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_rolling": q_events_rolling,
+    "star_revenue": q_star_revenue,
     "autocomplete": q_autocomplete,
     "pii_redact": q_pii_redact,
     "bpe_tokens": q_bpe_tokens,

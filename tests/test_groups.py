@@ -124,3 +124,31 @@ def test_common_shingle_frac_matches_pandas_reference(ray_session):
     assert float(out.loc[out["doc_id"] == 3, "frac"].iloc[0]) == 0.0
     # empty doc contributes its single '' shingle (df=1 -> not common)
     assert int(out.loc[out["doc_id"] == 4, "total_shingles"].iloc[0]) == 1
+
+
+def test_grouped_quantiles_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.groups import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    g = rng.choice(["a", "b", "c"], size=400).tolist()
+    v = rng.integers(0, 50, size=400).tolist()
+    ds = rd.from_arrow(pa.table({"g": g, "v": pa.array(v, type=pa.int64())}))
+    out = grouped_quantiles(ds, "g", "v", (0.25, 0.5, 0.9)).to_pandas()
+    df = pd.DataFrame({"g": g, "v": v})
+    for (grp, q), val in zip(zip(out["g"], out["q"]), out["value"]):
+        xs = np.sort(df[df["g"] == grp]["v"].to_numpy())
+        rank = max(int(np.ceil(q * len(xs))) - 1, 0)
+        assert val == xs[rank], (grp, q, val, xs[rank])
+    assert len(out) == 9
+
+
+def test_grouped_quantiles_single_value_group(ray_session):
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.groups import grouped_quantiles
+
+    ds = rd.from_arrow(pa.table({"g": ["x", "x", "y"], "v": pa.array([5, 5, 9], type=pa.int64())}))
+    out = grouped_quantiles(ds, "g", "v", (0.5,)).to_pandas().sort_values("g")
+    assert list(out["value"]) == [5, 9]

@@ -94,3 +94,44 @@ def test_asof_join_exact_equal_ts_matches(rd):
         rd.from_arrow(left), right, "k", "ts", out_col="m"
     ).take_all()
     assert {r["lid"]: r["m"] for r in rows} == {0: 50}
+
+
+def test_rolling_mean_matches_pandas_window(rd):
+    from meresco_lucene_ray.functions.temporal import rolling_mean
+
+    rng = np.random.default_rng(3)
+    n = 200
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+            "ts": _ts(rng.integers(0, 1000, n).tolist()),
+            "eid": pa.array(range(n), type=pa.int64()),
+            "v": pa.array(rng.uniform(0, 100, n)),
+        }
+    )
+    out = rolling_mean(rd.from_arrow(t), "u", "ts", "eid", "v", window=3).to_pandas()
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    want = (
+        df.groupby("u")["v"].rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
+    )
+    want = np.floor(want.to_numpy() * 10000 + 0.5) / 10000
+    got = out.set_index("eid").loc[df["eid"]]["rolling_avg"].to_numpy()
+    assert np.array_equal(got, want)
+
+
+def test_rolling_mean_short_groups(rd):
+    from meresco_lucene_ray.functions.temporal import rolling_mean
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 2], type=pa.int64()),
+            "ts": _ts([10, 20, 5]),
+            "eid": pa.array([0, 1, 2], type=pa.int64()),
+            "v": pa.array([4.0, 8.0, 7.0]),
+        }
+    )
+    out = rolling_mean(rd.from_arrow(t), "u", "ts", "eid", "v", window=3).to_pandas()
+    got = out.set_index("eid")["rolling_avg"]
+    assert got[0] == 4.0 and got[1] == 6.0 and got[2] == 7.0
