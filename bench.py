@@ -337,6 +337,10 @@ def run_scaling() -> None:
                 "build_spread_hi": hi["build"]["spread"],
                 "build_runs_sec_lo": lo["build"]["runs_sec"],
                 "build_runs_sec_hi": hi["build"]["runs_sec"],
+                # per-rep host-noise probes (see run_bench): a degraded
+                # window is visible here, not arguable after the fact
+                "probe_fault_ms_lo": lo["build"]["probe_fault_ms"],
+                "probe_fault_ms_hi": hi["build"]["probe_fault_ms"],
                 "qps_lo": lo["query"]["qps"],
                 "qps_hi": hi["query"]["qps"],
                 "qps_spread_lo": lo["query"]["spread"],
