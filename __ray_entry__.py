@@ -29,7 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query.  66 of 68 entries are SQL-mirrored
+    """DuckDB-equivalent SQL per query.  68 of 70 entries are SQL-mirrored
     (incl. the FNV-hash family, autocomplete, multiprobe LSH ANN, recursive-
     CTE transitive closures for the connected-components family, and the
     stride-range chunking spec); only cluster_topdocs (DBSCAN+PageRank) and

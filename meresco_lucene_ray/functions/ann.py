@@ -195,3 +195,59 @@ def lsh_topk(
 
     candidates = bucketed.map_batches(in_probe, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k, vec_col, id_col)
+
+
+def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
+    """Per-label mean embedding — the class-centroid table (label → mean
+    vector) behind centroid classifiers, IVF seeding and drift monitoring.
+
+    Scale shape: each batch folds to ONE (label, partial-sum vector, count)
+    row per label present (zero-copy list→matrix, add.reduceat over the
+    label-sorted rows); a groupby(label) final sums the few partials and
+    explodes to (label, dim, mean) rows.  Nothing bigger than
+    labels × dim crosses the wire after the map side.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = strip_meta(t)
+        m = list_col_to_matrix(t[vec_col], dtype=np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        starts = np.ones(lab_s.size, dtype=bool)
+        starts[1:] = lab_s[1:] != lab_s[:-1]
+        seg = np.flatnonzero(starts)
+        sums = np.add.reduceat(m[order], seg, axis=0)
+        cnts = np.diff(np.append(seg, lab_s.size))
+        d = m.shape[1]
+        flat = pa.array(sums.ravel(), type=pa.float64())
+        offs = pa.array(np.arange(len(seg) + 1, dtype=np.int32) * d)
+        return pa.table(
+            {
+                label_col: pa.array(lab_s[seg]),
+                "s": pa.ListArray.from_arrays(offs, flat),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        m = list_col_to_matrix(t["s"], dtype=np.float64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = m.sum(axis=0) / cnt.sum()
+        mean = np.floor(mean * 10000 + 0.5) / 10000
+        d = mean.size
+        lab = t[label_col][0].as_py()
+        return pa.table(
+            {
+                label_col: pa.array([lab] * d, type=t[label_col].type),
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "mean": pa.array(mean),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(label_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

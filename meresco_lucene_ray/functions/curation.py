@@ -347,3 +347,44 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 42):
         return t.append_column("__shuffle_key__", pa.array(h))
 
     return ds.map_batches(key_stage, batch_format="pyarrow").sort("__shuffle_key__")
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: int = 11):
+    """Deterministic weighted sampling without replacement (A-Res / Efraimidis-
+    Spirakis): each row gets key = ln(u)/w with u a seeded FNV-derived uniform
+    in (0, 1], and the k LARGEST keys win — inclusion probability ∝ weight,
+    same sample on any cluster size (the weighted analog of
+    :func:`deterministic_shuffle`).
+
+    Scale shape: the key is a pure per-row map; a conservative per-block
+    partial top-k (argpartition) reduces the global sort+limit to k·blocks
+    candidate rows.  u = (fnv1a("{seed}:{id}") mod 2^53 + 1) / 2^53 — both
+    the numerator and the power-of-two division are exact in float64, so the
+    DuckDB mirror reproduces keys bit-for-bit before the round4 quantize.
+    """
+
+    def key_stage(t: pa.Table) -> pa.Table:
+        t = strip_meta(t)
+        ids = pc.cast(t[id_col], pa.string())
+        keyed = pc.binary_join_element_wise(pa.scalar(f"{seed}"), ids, ":")
+        h = (fnv1a_arrow(keyed) & np.uint64((1 << 53) - 1)).astype(np.float64)
+        u = (h + 1.0) / float(1 << 53)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = np.log(u) / w
+        key = np.floor(key * 10000 + 0.5) / 10000
+        t = t.append_column("key", pa.array(key))
+        if len(t) > k:
+            # conservative per-block partial top-k in the FINAL total order
+            # (key desc, id asc) — argpartition on key alone would break
+            # boundary ties differently from the global sort
+            ids_np = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids_np, -key))[:k]
+            order.sort()
+            t = t.take(pa.array(order))
+        return t
+
+    return (
+        ds.map_batches(key_stage, batch_format="pyarrow")
+        .sort(key=["key", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -976,6 +976,41 @@ def q_star_revenue(sf_dir: str) -> pa.Table:
     )
 
 
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sample (k=50, weight = n_chars): A-Res keys
+    from seeded FNV uniforms, per-block partial top-k, global sort+limit
+    over k·blocks candidates only."""
+    from ..functions.curation import weighted_sample
+
+    ds = read_parquet_clean(_documents_path(sf_dir), columns=["doc_id", "n_chars"])
+    out = weighted_sample(ds, "doc_id", "n_chars", k=50, seed=11).to_pandas()
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "n_chars": pa.array(out["n_chars"].astype(np.int64)),
+            "key": pa.array(out["key"].astype(np.float64)),
+        }
+    )
+
+
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label mean embedding (labels × dim rows): one partial-sum row per
+    (label, batch) crosses the wire, final fold per label."""
+    from ..functions.ann import label_centroids
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"]
+    )
+    out = label_centroids(ds, "embedding", "label").to_pandas().sort_values(["label", "dim"])
+    return pa.table(
+        {
+            "label": pa.array(out["label"].astype(np.int64)),
+            "dim": pa.array(out["dim"].astype(np.int64)),
+            "mean": pa.array(out["mean"].astype(np.float64)),
+        }
+    )
+
+
 def q_grouped_quantiles(sf_dir: str) -> pa.Table:
     """Per-lang exact n_chars percentiles via the grouped value-histogram
     (no global sort; the fold sees distinct-value counts only)."""
@@ -2422,7 +2457,33 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l.l_orderkey LIMIT 10
 """
 
+def _weighted_sample_sql(seed: int = 11, k: int = 50) -> str:
+    fnv = _fnv_sql(f"('{seed}:' || doc_id::VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (({fnv}) % 9007199254740992::HUGEINT) AS hv
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       {_round4_sql("ln((hv + 1)::DOUBLE / 9007199254740992.0) / n_chars")} AS key
+FROM h ORDER BY key DESC, doc_id LIMIT {k}
+"""
+
+
+_LABEL_CENTROIDS_SQL = f"""
+WITH pos AS (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS o
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, (o - 1)::BIGINT AS dim,
+       {_round4_sql("sum(v::DOUBLE) / count(*)")} AS mean
+FROM pos GROUP BY label, o ORDER BY label, dim
+"""
+
 ORACLES: dict[str, str] = {
+    "weighted_sample": _weighted_sample_sql(),
+    "label_centroids": _LABEL_CENTROIDS_SQL,
     "events_rolling": _EVENTS_ROLLING_SQL,
     "star_revenue": _STAR_REVENUE_SQL,
     "grouped_quantiles": _GROUPED_QUANTILES_SQL,
@@ -2741,6 +2802,8 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "bpe_tokens": q_bpe_tokens,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "label_centroids": q_label_centroids,
     "repetition": q_repetition,
     "seqpack": q_seqpack,
     "curate_pack": q_curate_pack,
