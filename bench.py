@@ -131,6 +131,7 @@ def run_bench() -> dict:
     probe_ms: list[float] = []
     probe_bw_ms: list[float] = []
     probe_fault_ms: list[float] = []
+    probe_bw8_ms: list[float] = []
     import numpy as _np
 
     _probe_src = _np.zeros(16 * 1024 * 1024, dtype=_np.int64)  # 128 MB
@@ -148,6 +149,24 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         _np.ones(2 * 1024 * 1024, dtype=_np.int64)  # 16MB fresh: fault cost
         probe_fault_ms.append(round((time.perf_counter() - t0) * 1000, 1))
+        # 8-thread parallel memcpy (numpy releases the GIL): catches the
+        # bandwidth-contention mode that leaves single-core probes quiet —
+        # observed 2026-08-18: 400k builds 5-20× slow for 40 min while the
+        # spin AND fault probes read quiet
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        n8 = _probe_src.size // 8
+        t0 = time.perf_counter()
+        with _TPE(max_workers=8) as ex:
+            list(
+                ex.map(
+                    lambda i: _np.copyto(
+                        _probe_dst[i * n8 : (i + 1) * n8], _probe_src[i * n8 : (i + 1) * n8]
+                    ),
+                    range(8),
+                )
+            )
+        probe_bw8_ms.append(round((time.perf_counter() - t0) * 1000, 1))
         return cpu
 
     manifest = None
@@ -245,6 +264,7 @@ def run_bench() -> dict:
             "probe_ms": probe_ms,  # per-rep 1-core CPU probe (~200ms quiet)
             "probe_bw_ms": probe_bw_ms,  # warm 128MB memcpy (~15-40ms quiet)
             "probe_fault_ms": probe_fault_ms,  # fresh 16MB alloc+touch (~5ms quiet)
+            "probe_bw8_ms": probe_bw8_ms,  # 8-thread 128MB memcpy (bandwidth mode)
             "num_segments": len(manifest.segments),
             "num_terms": manifest.metrics.get("num_terms_global"),
         },
@@ -307,6 +327,9 @@ def run_scaling() -> None:
                 "probe_fault_ms": [
                     p for r in runs for p in r["build"].get("probe_fault_ms", [])
                 ],
+                "probe_bw8_ms": [
+                    p for r in runs for p in r["build"].get("probe_bw8_ms", [])
+                ],
             },
             "query": {
                 "qps": max(r["query"]["qps"] for r in runs),
@@ -341,6 +364,8 @@ def run_scaling() -> None:
                 # window is visible here, not arguable after the fact
                 "probe_fault_ms_lo": lo["build"]["probe_fault_ms"],
                 "probe_fault_ms_hi": hi["build"]["probe_fault_ms"],
+                "probe_bw8_ms_lo": lo["build"].get("probe_bw8_ms", []),
+                "probe_bw8_ms_hi": hi["build"].get("probe_bw8_ms", []),
                 "qps_lo": lo["query"]["qps"],
                 "qps_hi": hi["query"]["qps"],
                 "qps_spread_lo": lo["query"]["spread"],
