@@ -126,7 +126,9 @@ def run_bench() -> dict:
     # quiet floor) and a 128MB numpy memcpy (~15-25ms quiet floor; memory
     # bandwidth is what host neighbors actually contend) — so the JSON
     # carries direct per-rep evidence of host noise at that moment.
-    build_reps_total = int(os.environ.get("MLR_BENCH_BUILD_REPS", "5"))
+    # clamp ≥1: the first timed_build(idx_dir) must always run, or idx_dir
+    # is never populated and the searcher phase reads a missing index
+    build_reps_total = max(1, int(os.environ.get("MLR_BENCH_BUILD_REPS", "5")))
     build_runs: list[float] = []
     probe_ms: list[float] = []
     probe_bw_ms: list[float] = []
@@ -188,7 +190,6 @@ def run_bench() -> dict:
             manifest = m
 
     timed_build(idx_dir)
-    timed_build()
 
     # actor pool sized to the CPU budget (a real cluster scales searcher
     # replicas with nodes); 4 is the latency sweet spot at 32 cpus on the
@@ -199,6 +200,12 @@ def run_bench() -> dict:
     # warm the actors (load segments) untimed
     for q in asts:
         searcher.execute(q, stop=10)
+
+    # rep 2 AFTER the warm-up/actor-pool phase: in scaling legs (entries
+    # skipped, reps=3) two upfront reps would run back-to-back and could
+    # both land inside one host-contention burst — the exact failure mode
+    # the interleaving exists to avoid
+    timed_build()
 
     # (1) true latency: ONE client, sequential — no queueing in the number
     lat = []
@@ -220,15 +227,16 @@ def run_bench() -> dict:
     rounds = 4
     clients = NUM_CPUS
     qps_runs = []
-    for _ in range(2):
+    for i in range(2):
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=clients) as ex:
             list(ex.map(run_one, [q for _ in range(rounds) for q in asts]))
         sec = time.time() - t0
         qps_runs.append(round(rounds * len(asts) / sec, 1))
+        if i == 0:
+            timed_build()  # rep between qps rounds keeps reps non-adjacent
     qps = max(qps_runs)
     query_sec = rounds * len(asts) / qps
-    timed_build()
 
     # entry pipelines over the sf tables (a subset that exercises shuffle,
     # broadcast join, dedup and ANN paths)

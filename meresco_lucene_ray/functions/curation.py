@@ -361,10 +361,18 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: int = 11):
     candidate rows.  u = (fnv1a("{seed}:{id}") mod 2^53 + 1) / 2^53 — both
     the numerator and the power-of-two division are exact in float64, so the
     DuckDB mirror reproduces keys bit-for-bit before the round4 quantize.
+
+    Precondition: weights must be strictly positive.  Rows with w <= 0 are
+    dropped (they would yield -inf or NaN keys — NaN placement is undefined
+    in the Arrow sort and diverges from the SQL mirror, whose ln(u)/0 is
+    NULL); the SQL mirror applies the same ``WHERE w > 0`` filter.
     """
 
     def key_stage(t: pa.Table) -> pa.Table:
         t = strip_meta(t)
+        w_all = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.any(~(w_all > 0.0)):
+            t = t.take(pa.array(np.flatnonzero(w_all > 0.0)))
         ids = pc.cast(t[id_col], pa.string())
         keyed = pc.binary_join_element_wise(pa.scalar(f"{seed}"), ids, ":")
         h = (fnv1a_arrow(keyed) & np.uint64((1 << 53) - 1)).astype(np.float64)

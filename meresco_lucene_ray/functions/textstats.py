@@ -415,7 +415,21 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         rows.groupby("term").aggregate(Sum("tf", alias_name="cf")),
         pa.table({"term": pa.array([], type=pa.string()), "cf": pa.array([], type=pa.int64())}),
     )
-    n_tokens = float(cf.sum("cf"))
+    # Dataset.sum returns None on an empty dataset — guard so an empty/too-
+    # small corpus yields the empty result table instead of a TypeError.
+    n_tokens = float(cf.sum("cf") or 0)
+    if n_tokens == 0.0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "mean_nll": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     joined = rows.join(cf, join_type="inner", num_partitions=8, on=("term",))
 
     def nll(t: pa.Table) -> pa.Table:
@@ -539,14 +553,29 @@ def collocations_pmi(ds, text_col: str = "text", min_count: int = 25, top: int =
             }
         ),
     )
-    n_pairs = float(big.sum("cnt"))
+    # Dataset.sum returns None on an empty dataset — guard both scalars so a
+    # too-small corpus yields the empty result table, not a TypeError.
+    n_pairs = float(big.sum("cnt") or 0)
     uni = _snap_nonempty(
         ds.map_batches(uni_stage, batch_format="pyarrow")
         .groupby("w")
         .aggregate(Sum("c", alias_name="c")),
         pa.table({"w": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}),
     )
-    n_tokens = float(uni.sum("c"))
+    n_tokens = float(uni.sum("c") or 0)
+    if n_pairs == 0.0 or n_tokens == 0.0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "pair_cnt": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        )
 
     def floor_(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["cnt"], pa.scalar(min_count, type=pa.int64())))
@@ -561,6 +590,23 @@ def collocations_pmi(ds, text_col: str = "text", min_count: int = 25, top: int =
             }
         ),
     )
+
+    if supported.count() == 0:
+        # every bigram fell below the support floor — short-circuit before
+        # the joins (an all-empty left side still loses its key columns in
+        # Ray 2.49's hash join)
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "pair_cnt": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        )
 
     def as_u1(t: pa.Table) -> pa.Table:
         return t.rename_columns(["w1", "c1"])

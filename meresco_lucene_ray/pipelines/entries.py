@@ -2464,6 +2464,7 @@ WITH h AS (
   SELECT doc_id, n_chars,
          (({fnv}) % 9007199254740992::HUGEINT) AS hv
   FROM documents
+  WHERE n_chars > 0  -- positive-weight precondition, mirrors weighted_sample()
 )
 SELECT doc_id, n_chars,
        {_round4_sql("ln((hv + 1)::DOUBLE / 9007199254740992.0) / n_chars")} AS key
