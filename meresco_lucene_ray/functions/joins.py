@@ -1,0 +1,114 @@
+"""Join-strategy helpers shared by the relational entry pipelines.
+
+Two concerns the 100 TB design point needs made explicit:
+
+- ``derive_num_partitions``: hash-join/shuffle partition counts must scale
+  with the data, not be hard-coded (a fixed 4 is a straggler at 100 TB and
+  pure overhead at sf0.001).  Derived from the INPUT parquet bytes — known
+  without executing the pipeline — at ~256 MB of input per partition.
+- ``gather_small`` + ``broadcast_attach`` / ``broadcast_semi``: the classic
+  broadcast join.  A filtered dimension side that fits in one worker's heap
+  is shipped ONCE via ``ray.put`` (zero-copy numpy from the object store in
+  every map task) and probed with ``np.searchsorted`` — no all-to-all
+  exchange at all.  Callers gate on ``count() <= max_rows`` and fall back
+  to the hash join when the side is genuinely big.
+
+The reference has no relational star join; this module backs the
+TPC-H-shaped pipelines (``star_revenue``, ``join_sort``) that a curation
+workload runs around the index.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def input_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given parquet files/directories — a
+    pre-execution size signal for partition-count derivation."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def derive_num_partitions(
+    nbytes: int, *, bytes_per_partition: int = 256 << 20, lo: int = 2, hi: int = 512
+) -> int:
+    """Partition count for a hash join/shuffle over ``nbytes`` of input:
+    one partition per ~256 MB, clamped to [lo, hi]."""
+    return max(lo, min(hi, (nbytes + bytes_per_partition - 1) // bytes_per_partition))
+
+
+def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
+    """Collect a SMALL (already filtered/projected) Dataset's columns into
+    numpy arrays, sorted by the first column — the broadcast payload.
+    Streams batch-wise (never a single driver-side pandas frame); the caller
+    is responsible for gating on row count."""
+    parts: dict[str, list[np.ndarray]] = {c: [] for c in columns}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for c in columns:
+            parts[c].append(b[c].to_numpy(zero_copy_only=False))
+    out = {
+        c: (np.concatenate(v) if v else np.array([], dtype=np.int64))
+        for c, v in parts.items()
+    }
+    order = np.argsort(out[columns[0]], kind="stable")
+    return {c: v[order] for c, v in out.items()}
+
+
+def _member_mask(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(sorted_keys, keys)
+    pos_c = np.minimum(pos, len(sorted_keys) - 1) if len(sorted_keys) else pos
+    return (
+        (sorted_keys[pos_c] == keys) if len(sorted_keys) else np.zeros(len(keys), bool)
+    )
+
+
+def broadcast_semi(ds, key_col: str, keys_ref):
+    """Semi-join filter: keep rows whose ``key_col`` is in the broadcast
+    sorted key array (``ray.put`` of ``gather_small(...)[key]``)."""
+    import ray
+
+    def stage(t: pa.Table) -> pa.Table:
+        sorted_keys = ray.get(keys_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.flatnonzero(_member_mask(keys, sorted_keys))))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def broadcast_attach(ds, key_col: str, small_ref, value_cols: list[str]):
+    """Inner join against a broadcast small side: drop non-matching rows and
+    append the small side's ``value_cols`` via searchsorted gather.  The
+    small side is the dict from :func:`gather_small` (sorted by its key,
+    which must be the first gathered column).  Precondition: the small
+    side's keys are UNIQUE (dimension-table semantics); duplicate keys
+    would silently resolve to one arbitrary row."""
+    import ray
+
+    def stage(t: pa.Table) -> pa.Table:
+        small = ray.get(small_ref)
+        skeys = small[key_col]
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, keys)
+        pos_c = np.minimum(pos, len(skeys) - 1) if len(skeys) else pos
+        hit = (skeys[pos_c] == keys) if len(skeys) else np.zeros(len(keys), bool)
+        idx = np.flatnonzero(hit)
+        t = t.take(pa.array(idx))
+        for c in value_cols:
+            t = t.append_column(c, pa.array(small[c][pos_c[idx]]))
+        return t
+
+    return ds.map_batches(stage, batch_format="pyarrow")

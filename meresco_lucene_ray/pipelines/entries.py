@@ -886,9 +886,22 @@ def q_events_rolling(sf_dir: str) -> pa.Table:
 def q_star_revenue(sf_dir: str) -> pa.Table:
     """TPC-H Q3-shaped star join over the RAW tables (not the index): filter
     each dimension at the read (pruned columns + vectorized predicates),
-    hash-join customer→orders→lineitem smallest-first, map-side revenue,
-    ONE groupby aggregate, top-10 over the aggregated (small) set."""
+    then join customer→orders→lineitem smallest-first.  Join strategy is
+    size-gated: a filtered dimension side that fits in a worker's heap is
+    BROADCAST (``ray.put`` once, searchsorted probe in every map task — no
+    all-to-all); past the row threshold it falls back to a hash join whose
+    partition count derives from the input bytes.  Map-side revenue, ONE
+    groupby aggregate, top-10 over the aggregated (small) set."""
+    import ray
     import ray.data as rd
+
+    from ..functions.joins import (
+        broadcast_attach,
+        broadcast_semi,
+        derive_num_partitions,
+        gather_small,
+        input_bytes,
+    )
 
     cut = np.datetime64("1998-06-01", "us")  # us unit → timestamp[us] scalar
 
@@ -924,29 +937,60 @@ def q_star_revenue(sf_dir: str) -> pa.Table:
 
     from ..functions.dedup import _snap_nonempty
 
-    co = _snap_nonempty(
-        orders.join(
-            cust.map_batches(
-                lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    # broadcast gate: ~20M rows ≈ 160-480 MB of key/value arrays — fits one
+    # worker heap; the TPC-H dimensions stay under it far past sf10
+    bcast_max = int(os.environ.get("MLR_BCAST_MAX_ROWS", 20_000_000))
+
+    cust_m = cust.materialize()
+    if cust_m.count() <= bcast_max:
+        ckeys = gather_small(cust_m, ["c_custkey"])["c_custkey"]
+        orders = broadcast_semi(
+            orders.map_batches(
+                lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_orderdate"]),
+                batch_format="pyarrow",
             ),
-            join_type="inner",
-            num_partitions=4,
-            on=("o_custkey",),
-        ),
-        pa.table(
-            {
-                "o_orderkey": pa.array([], type=pa.int64()),
-                "o_custkey": pa.array([], type=pa.int64()),
-                "o_orderdate": pa.array([], type=pa.timestamp("us")),
-            }
-        ),
-    ).map_batches(
-        lambda t: t.select(["o_orderkey", "o_orderdate"]).rename_columns(
-            ["l_orderkey", "o_orderdate"]
-        ),
-        batch_format="pyarrow",
-    )
-    joined = line.join(co, join_type="inner", num_partitions=8, on=("l_orderkey",))
+            "c_custkey",
+            ray.put(ckeys),
+        )
+        co_src = orders.map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow"
+        )
+    else:
+        nparts = derive_num_partitions(
+            input_bytes(
+                os.path.join(sf_dir, "orders.parquet"),
+                os.path.join(sf_dir, "customer.parquet"),
+            )
+        )
+        co_src = _snap_nonempty(
+            orders.join(
+                cust.map_batches(
+                    lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+                ),
+                join_type="inner",
+                num_partitions=nparts,
+                on=("o_custkey",),
+            ),
+            pa.table(
+                {
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "o_custkey": pa.array([], type=pa.int64()),
+                    "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                }
+            ),
+        ).map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow"
+        )
+
+    co_m = co_src.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]), batch_format="pyarrow"
+    ).materialize()
+    if co_m.count() <= bcast_max:
+        small = gather_small(co_m, ["l_orderkey", "o_orderdate"])
+        joined = broadcast_attach(line, "l_orderkey", ray.put(small), ["o_orderdate"])
+    else:
+        nparts = derive_num_partitions(input_bytes(os.path.join(sf_dir, "lineitem.parquet")))
+        joined = line.join(co_m, join_type="inner", num_partitions=nparts, on=("l_orderkey",))
 
     def round_rev(t: pa.Table) -> pa.Table:
         r = np.floor(t["rev"].to_numpy(zero_copy_only=False) * 100 + 0.5) / 100

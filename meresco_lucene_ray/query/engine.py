@@ -36,6 +36,24 @@ DEFAULT_STOP = 10  # reference default page size (meresco/lucene/_lucene.py:98-9
 DEDUP_MORE_RECORDS = 100  # overfetch when dedup is on (Lucene.java:267-269)
 MAX_RETRY_K = 10000  # paging retry cap (Lucene.java:312-319)
 
+# dedup partial-row budget for the driver-side group merge; past it the
+# merge routes through Ray Data (sort + per-block combine) and the driver
+# only ever sees O(page × blocks) rows
+DEDUP_DRIVER_MAX_ROWS = int(os.environ.get("MLR_DEDUP_DRIVER_MAX", "500000"))
+
+_num_rows_task = None
+
+
+def _get_num_rows_task():
+    """Tiny locality-scheduled task: partial-table row count without pulling
+    the table to the driver (the distributed-vs-driver merge gate)."""
+    global _num_rows_task
+    if _num_rows_task is None:
+        import ray
+
+        _num_rows_task = ray.remote(num_cpus=0)(lambda t: t.num_rows)
+    return _num_rows_task
+
 
 class _SegmentActorImpl:
     """Holds several segments; all per-segment methods fan in here."""
@@ -312,6 +330,9 @@ class IndexSearcher:
         self.score_f32 = score_f32
         self._similarity = similarity
         self._cache: dict = {}  # LRU(50) key/score collector cache (ST3)
+        # per-instance so tests/operators can tune the dedup merge gate
+        self.dedup_driver_max_rows = DEDUP_DRIVER_MAX_ROWS
+        self.last_dedup_path: str | None = None
         self._open(IndexManifest.load(index_dir))
 
     def _open(self, manifest) -> None:
@@ -525,31 +546,35 @@ class IndexSearcher:
         fields (DeDupFilterSuperCollector delegating to a
         TopFieldSuperCollector, DeDupFilterSuperCollector.java:43-258): the
         representatives' sort columns are fetched once (O(groups) small rows)
-        and ordered with the same missing-value fills as the non-dedup path."""
+        and ordered with the same missing-value fills as the non-dedup path.
+
+        Scale: past ``DEDUP_DRIVER_MAX_ROWS`` total partial rows (a
+        high-cardinality dedup key at 100 TB) the per-segment partials are
+        merged through Ray Data instead of a driver concat — the driver
+        payload stays O(page × blocks); see :meth:`_dedup_distributed`.
+        Field-sorted grouping stays on the driver path (ranking groups by
+        the representatives' sort fields inherently needs O(groups) fetched
+        sort values; the reference's single-JVM concurrent map has the same
+        O(groups) memory shape)."""
         import ray
 
-        parts = ray.get(
-            [
-                a.dedup_groups.remote(q, self.sim, stats, dedup_field, dedup_sort_field)
-                for a in self.actors
-            ]
-        )
+        refs = [
+            a.dedup_groups.remote(q, self.sim, stats, dedup_field, dedup_sort_field)
+            for a in self.actors
+        ]
+        field_sort = [s for s in (sort or []) if s[0] != "score"]
+        nrows = _get_num_rows_task()
+        counts = ray.get([nrows.remote(r) for r in refs])
+        self.last_dedup_path = "driver"
+        if not field_sort and sum(counts) > self.dedup_driver_max_rows:
+            self.last_dedup_path = "distributed"
+            return self._dedup_distributed(refs, counts, start, stop, dedup_field, cols)
+        parts = ray.get(refs)
         df = pa.concat_tables(parts, promote_options="default").to_pandas()
         if df.empty:
             return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
         total_with_dups = int(df["cnt"].sum())
-        # merge per key across segments
-        rank = (
-            df.sort_values(["key", "max_score", "rank_docid"], ascending=[True, False, True])
-            .drop_duplicates("key", keep="first")[["key", "max_score", "rank_docid"]]
-        )
-        rep = (
-            df.sort_values(["key", "best_sort", "repr_docid"], ascending=[True, False, True])
-            .drop_duplicates("key", keep="first")[["key", "repr_docid"]]
-        )
-        cnt = df.groupby("key", sort=False)["cnt"].sum().reset_index()
-        g = rank.merge(rep, on="key").merge(cnt, on="key")
-        field_sort = [s for s in (sort or []) if s[0] != "score"]
+        g = self._merge_group_partials(df)
         if field_sort:
             # rank groups by the REPRESENTATIVES' sort fields
             sort_cols = [c for c, _, _ in field_sort]
@@ -569,7 +594,28 @@ class IndexSearcher:
         else:
             g = g.sort_values(["max_score", "rank_docid"], ascending=[False, True])
         total = len(g)
-        page = g.iloc[start:stop]
+        page = self._dedup_page_table(g.iloc[start:stop], dedup_field, cols)
+        return page, total, total_with_dups
+
+    @staticmethod
+    def _merge_group_partials(df):
+        """Merge per-segment per-key partial rows into one row per key:
+        group rank = (max score, min docid), representative = (max
+        dedup-sort value, min docid), count = sum."""
+        rank = (
+            df.sort_values(["key", "max_score", "rank_docid"], ascending=[True, False, True])
+            .drop_duplicates("key", keep="first")[["key", "max_score", "rank_docid"]]
+        )
+        rep = (
+            df.sort_values(["key", "best_sort", "repr_docid"], ascending=[True, False, True])
+            .drop_duplicates("key", keep="first")[["key", "repr_docid"]]
+        )
+        cnt = df.groupby("key", sort=False)["cnt"].sum().reset_index()
+        return rank.merge(rep, on="key").merge(cnt, on="key")
+
+    def _dedup_page_table(self, page, dedup_field, cols) -> pa.Table:
+        """Fetch stored fields for the page's representatives and shape the
+        hits table (shared by the driver and distributed merge paths)."""
         fetched = self.fetch(
             page["repr_docid"].to_numpy(),
             ["__id__", *[c for c in cols if c != dedup_field]],
@@ -581,7 +627,106 @@ class IndexSearcher:
         )
         if fetched is not None:
             out = out.merge(fetched.to_pandas(), on="docid", how="left")
-        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False), total, total_with_dups
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    def _dedup_distributed(self, refs, counts, start, stop, dedup_field, cols):
+        """Distributed dedup-group merge (the 100 TB path for Q11): the
+        per-segment partial tables stay in the object store and are merged
+        with Ray Data —
+
+        1. ONE range-partitioned sort by (key, score desc, docid): each
+           key's rows become globally contiguous, best-first — so a block's
+           first row per key is that key's GLOBAL argmax whenever the block
+           is the first to contain the key.
+        2. Per-block (vectorized) first-per-key + top-``stop``: any global
+           top-``stop`` key's best row must rank in its own block's
+           top-``stop`` (rows above it map to distinct globally-better
+           keys), so the per-block candidates cover the page.  Driver
+           receives O(stop × blocks) candidate rows, dedups, orders.
+        3. Exact ``total`` from per-block (distinct, first_key, last_key)
+           stats — sum of distincts minus adjacent-block boundary overlaps
+           (a key spanning b blocks is counted b times, overlaps subtract
+           b−1).  ``totalWithDuplicates`` is a distributed sum.
+        4. The page keys' partial rows are re-collected with a broadcast
+           ``is_in`` filter (O(page × segments) rows) and merged with the
+           same driver logic as the dense path.
+
+        The driver never holds more than O(page × blocks) rows — the fix
+        for the reference-shaped all-groups driver merge, which is a
+        driver OOM at high key cardinality (DeDupFilterSuperCollector's
+        concurrent map has the same O(groups) footprint in one JVM)."""
+        import pyarrow.compute as pc
+        import ray
+        import ray.data as rd
+
+        live = [r for r, c in zip(refs, counts) if c]
+        if not live:
+            return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
+        ds = rd.from_arrow_refs(live)
+        total_with_dups = int(ds.sum("cnt") or 0)
+        srt = ds.sort(
+            ["key", "max_score", "rank_docid"], descending=[False, True, False]
+        ).materialize()
+        k = max(stop, 1)
+
+        def block_stats(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {"nuniq": pa.array([], pa.int64()), "first_key": t["key"], "last_key": t["key"]}
+                )
+            keys = t["key"].to_numpy(zero_copy_only=False)
+            n = 1 + int(np.count_nonzero(keys[1:] != keys[:-1]))
+            return pa.table(
+                {
+                    "nuniq": pa.array([n], pa.int64()),
+                    "first_key": t["key"].slice(0, 1),
+                    "last_key": t["key"].slice(len(t) - 1, 1),
+                }
+            )
+
+        def block_candidates(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t.select(["key", "max_score", "rank_docid"])
+            keys = t["key"].to_numpy(zero_copy_only=False)
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = keys[1:] != keys[:-1]
+            ft = t.take(pa.array(np.flatnonzero(first)))
+            sc = ft["max_score"].to_numpy(zero_copy_only=False)
+            did = ft["rank_docid"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((did, -sc))[:k]
+            return ft.take(pa.array(np.sort(order))).select(
+                ["key", "max_score", "rank_docid"]
+            )
+
+        stats_rows = srt.map_batches(
+            block_stats, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        stats_rows.sort(key=lambda r: (r["first_key"], r["last_key"]))
+        total = sum(r["nuniq"] for r in stats_rows) - sum(
+            1
+            for a, b in zip(stats_rows, stats_rows[1:])
+            if a["last_key"] == b["first_key"]
+        )
+
+        cand = (
+            srt.map_batches(block_candidates, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .sort_values(["max_score", "rank_docid"], ascending=[False, True])
+            .drop_duplicates("key", keep="first")
+        )
+        page_keys = cand.iloc[start:stop]["key"].tolist()
+        if not page_keys:
+            return pa.table({"docid": [], "__id__": [], "score": []}), total, total_with_dups
+        key_set = pa.array(page_keys)
+
+        def filt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["key"], value_set=key_set))
+
+        small = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+        g = self._merge_group_partials(small).sort_values(
+            ["max_score", "rank_docid"], ascending=[False, True]
+        )
+        return self._dedup_page_table(g, dedup_field, cols), total, total_with_dups
 
     def count(self, q) -> int:
         import ray
