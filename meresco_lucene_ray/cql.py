@@ -74,6 +74,11 @@ _PREFIX_RE = re.compile(r"^([\w-]{2,})\*$")
 @dataclass
 class CqlConfig:
     text_col: str = "text"
+    # ADDITIONAL tokenized fields with their own postings (matches
+    # IndexConfig.text_fields): a qualified query on one converts to a
+    # field-scoped TermQ/PhraseQ/PrefixQ — the per-field-postings model of
+    # DocumentStringToDocument.java:84-158
+    text_cols: frozenset[str] = frozenset()
     keyword_cols: frozenset[str] = frozenset()
     numeric_cols: frozenset[str] = frozenset()
     # unqualified-term multi-field boost expansion (:95-116)
@@ -366,6 +371,10 @@ def _distance_q(cfg: CqlConfig, fieldname: str, op: str, value: str, boost: floa
 def _field_q(cfg: CqlConfig, fieldname: str, value: str, boost: float):
     if fieldname == cfg.text_col:
         return _text_q(cfg, fieldname, value, boost)
+    if fieldname in cfg.text_cols:
+        # per-field postings: same analyze/prefix/phrase decision tree,
+        # scoped to the field's own posting space
+        return _text_q(cfg, fieldname, value, boost, field=fieldname)
     if fieldname in cfg.keyword_cols:
         return DocValEqQ(fieldname, value, boost=boost)
     if not cfg.strict:
@@ -374,34 +383,41 @@ def _field_q(cfg: CqlConfig, fieldname: str, value: str, boost: float):
     raise CqlParseError(f"unknown field {fieldname!r}")
 
 
-def _post_analyzed_term(cfg: CqlConfig, fieldname: str, token: str, boost: float):
+def _post_analyzed_term(
+    cfg: CqlConfig, fieldname: str, token: str, boost: float, field: str | None = None
+):
     """Single analyzed token → term query, optionally expanded to
     OR(original, stem) by Dutch-stemming post-analysis — the reference's
     _post_analyzeToken (:206-211) with MerescoDutchStemmingAnalyzer
     semantics (stem applies per configured field; phrase terms never
     stem; ignoreStemmingForWords bypasses)."""
     if cfg.dutch_stem_fields is None or token in cfg.ignore_stemming_for_words:
-        return TermQ(token, boost=boost)
+        return TermQ(token, boost=boost, field=field)
     if cfg.dutch_stem_fields and fieldname not in cfg.dutch_stem_fields:
-        return TermQ(token, boost=boost)
+        return TermQ(token, boost=boost, field=field)
     stem = dutch_stem(token)
     if stem == token:
-        return TermQ(token, boost=boost)
-    return BoolQ(should=(TermQ(token, boost=boost), TermQ(stem, boost=boost)))
+        return TermQ(token, boost=boost, field=field)
+    return BoolQ(
+        should=(TermQ(token, boost=boost, field=field), TermQ(stem, boost=boost, field=field))
+    )
 
 
-def _text_q(cfg: CqlConfig, fieldname: str, value: str, boost: float):
+def _text_q(cfg: CqlConfig, fieldname: str, value: str, boost: float, field: str | None = None):
     """_determineQuery (:151-172): analyze, then prefix / term / wildcard /
     phrase.  A value whose tokens all analyze away becomes an EMPTY phrase
-    (matches nothing) so enclosing booleans can drop it (:225-228)."""
+    (matches nothing) so enclosing booleans can drop it (:225-228).
+    ``field`` scopes the produced query to a non-default text field's
+    postings."""
     toks = cfg.tokenize_fn()(value)
     if len(toks) == 1:
         if _PREFIX_RE.match(value):
-            return PrefixQ(toks[0], boost=boost)  # prefixRegexp (:154-155, :257)
-        return _post_analyzed_term(cfg, fieldname, toks[0], boost)
+            # prefixRegexp (:154-155, :257)
+            return PrefixQ(toks[0], boost=boost, field=field)
+        return _post_analyzed_term(cfg, fieldname, toks[0], boost, field=field)
     if value == "???*":  # the reference's magic wildcard literal (:167-168)
-        return WildcardQ(value, boost=boost)
-    return PhraseQ(tuple(toks), boost=boost)  # phrase fallback, may be empty
+        return WildcardQ(value, boost=boost, field=field)
+    return PhraseQ(tuple(toks), boost=boost, field=field)  # phrase fallback, may be empty
 
 
 def is_empty_query(q) -> bool:

@@ -67,6 +67,20 @@ class IndexConfig:
     analyzer: str = "standard"          # "standard" | "whitespace" (M1/M3)
     ascii_folding: bool = False         # ASCIIFoldingFilter analog
     stem: str | None = None             # e.g. "dutch" (M2: emit stemmed+original)
+    # ADDITIONAL tokenized text columns with their own postings, scoped BM25
+    # stats and positions — the per-field-postings model of the reference
+    # (DocumentStringToDocument.java:84-158; every reference fixture indexes
+    # field1..field5).  Terms are keyed "<field>\x1f<term>" in the one
+    # sorted dictionary; text_col stays the unprefixed DEFAULT field, so
+    # single-field indexes are unchanged.  Per-field doc lengths land in
+    # ``__dl__<field>`` doc columns; per-field sum_dl in the manifest
+    # metrics drives each field's own avgdl.
+    text_fields: tuple[str, ...] = ()
+    # fields the stemmer applies to (MerescoDutchStemmingAnalyzer(String[])
+    # semantics, MerescoDutchStemmingAnalyzer.java:49-66): empty → ``stem``
+    # applies to ALL text fields (the no-arg-constructor behavior);
+    # non-empty → only the named fields stem, others use the base analyzer
+    stem_fields: tuple[str, ...] = ()
     # store per-doc (term, tf) vectors in docs.parquet — the analog of
     # Lucene's FieldType.setStoreTermVectors(true), which the reference's
     # clustering reads (MerescoClusterer.termVector); costs ~dl extra
@@ -143,7 +157,24 @@ class TokenizeStage:
         # build task's memory traffic; only safe when tokenize+build run in
         # the SAME task, i.e. the zero-shuffle file layout)
         self.emit_dictionary = emit_dictionary
-        self._tokenizer = make_tokenizer(cfg.analyzer, cfg.ascii_folding, cfg.stem)
+        self._tokenizer = make_tokenizer(
+            cfg.analyzer, cfg.ascii_folding, self._stem_for(cfg.text_col)
+        )
+        self._field_tokenizers = {
+            f: make_tokenizer(cfg.analyzer, cfg.ascii_folding, self._stem_for(f))
+            for f in cfg.text_fields
+        }
+
+    def _stem_for(self, field_name: str) -> str | None:
+        """Per-field stemming (MerescoDutchStemmingAnalyzer.java:49-66):
+        ``stem`` applies to all text fields unless ``stem_fields`` names a
+        subset."""
+        cfg = self.cfg
+        if not cfg.stem:
+            return None
+        if cfg.stem_fields and field_name not in cfg.stem_fields:
+            return None
+        return cfg.stem
 
     # chars whose Unicode LOWERCASE maps into [a-z0-9_] without being
     # [A-Za-z0-9_] themselves: İ (U+0130 → "i" + U+0307) and K (U+212A → "k").
@@ -255,29 +286,12 @@ class TokenizeStage:
             ids_arr = pc.fill_null(ids_arr, "None")  # str(None) parity
         ndocs = len(batch)
 
-        if cfg.analyzer == "standard" and not cfg.ascii_folding and cfg.stem is None:
-            inv, doc_idx, pos_in_doc, dictionary, dl = self._tokens_arrow(batch[cfg.text_col])
-            uniq = None  # strings stay in Arrow; take() from dictionary below
-        else:
-            # configurable-analyzer fallback: python tokenizer + factorize
-            texts = batch[cfg.text_col].to_pylist()
-            toks = self._tokenizer(texts)
-            dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=ndocs)
-            from itertools import chain
+        if cfg.text_fields:
+            return self._call_multifield(batch, ids_arr, ndocs)
 
-            flat = np.array(list(chain.from_iterable(toks)), dtype=object)
-            lengths = dl.astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-            doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
-            pos_in_doc = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lengths)
-            if flat.size:
-                import pandas as pd
-
-                inv, uniques = pd.factorize(flat, sort=False)
-                dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
-            else:
-                inv = np.empty(0, dtype=np.int64)
-                dictionary = pa.array([], type=pa.string())
+        inv, doc_idx, pos_in_doc, dictionary, dl = self._flat_tokens(
+            batch[cfg.text_col], cfg.text_col
+        )
 
         if inv.size:
             # single-key stable sort on (doc, term): input is already
@@ -345,6 +359,158 @@ class TokenizeStage:
         if cfg.store_positions:
             inner = pa.ListArray.from_arrays(
                 pa.array(run_bounds.astype(np.int32)), pa.array(pi.astype(np.int32))
+            )
+            cols["positions"] = pa.ListArray.from_arrays(pa.array(outer_off), inner)
+        if cfg.hash_content:
+            cols["content_sha256"] = _sha256_column(batch[cfg.text_col])
+        for c in cfg.stored_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    def _flat_tokens(self, col, field_name: str):
+        """Tokenize one column → flat (inv codes, doc_idx, pos_in_doc,
+        dictionary, dl) — the Arrow fast path when the field's effective
+        analyzer is the frozen default, else the python tokenizer."""
+        cfg = self.cfg
+        if (
+            cfg.analyzer == "standard"
+            and not cfg.ascii_folding
+            and self._stem_for(field_name) is None
+        ):
+            return self._tokens_arrow(col)
+        texts = col.to_pylist()
+        ndocs = len(texts)
+        tokenizer = self._field_tokenizers.get(field_name, self._tokenizer)
+        toks = tokenizer(texts)
+        dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=ndocs)
+        from itertools import chain
+
+        flat = np.array(list(chain.from_iterable(toks)), dtype=object)
+        lengths = dl.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+        pos_in_doc = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lengths)
+        if flat.size:
+            import pandas as pd
+
+            inv, uniques = pd.factorize(flat, sort=False)
+            dictionary = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
+        else:
+            inv = np.empty(0, dtype=np.int64)
+            dictionary = pa.array([], type=pa.string())
+        return inv, doc_idx, pos_in_doc, dictionary, dl
+
+    def _field_runs(self, col, field_name: str, prefix: str, ndocs: int) -> dict:
+        """One field's (doc, term) runs: tokenize, sort by (doc, term), and
+        collapse to per-posting runs.  ``prefix`` ("" for the default field)
+        is applied in DICTIONARY space before the run gather, so prefixed
+        term strings are built once per distinct term, not per posting."""
+        import pyarrow.compute as pc
+
+        inv, doc_idx, pos_in_doc, dictionary, dl = self._flat_tokens(col, field_name)
+        if prefix and len(dictionary):
+            dictionary = pc.binary_join_element_wise(
+                pa.scalar(prefix), dictionary.cast(pa.string()), ""
+            )
+        if inv.size:
+            n_dict = int(inv.max()) + 1
+            order = np.argsort(doc_idx.astype(np.int64) * n_dict + inv, kind="stable")
+            di, ti, pi = doc_idx[order], inv[order], pos_in_doc[order]
+            run_start = np.ones(di.size, dtype=bool)
+            run_start[1:] = (di[1:] != di[:-1]) | (ti[1:] != ti[:-1])
+            run_ids = np.flatnonzero(run_start)
+            run_bounds = np.concatenate((run_ids, [di.size]))
+            run_tf = np.diff(run_bounds).astype(np.int32)
+            runs_per_doc = np.bincount(di[run_ids], minlength=ndocs)
+            term_values = pc.take(dictionary, pa.array(ti[run_ids]))
+            if term_values.type != pa.string():
+                term_values = term_values.cast(pa.string())
+            run_doc = di[run_ids].astype(np.int64)
+            pos_start = run_ids.astype(np.int64)
+        else:
+            run_tf = np.empty(0, dtype=np.int32)
+            runs_per_doc = np.zeros(ndocs, dtype=np.int64)
+            term_values = pa.array([], type=pa.string())
+            run_doc = np.empty(0, dtype=np.int64)
+            pos_start = np.empty(0, dtype=np.int64)
+            pi = np.empty(0, dtype=np.int64)
+        return {
+            "run_doc": run_doc,
+            "term_values": term_values
+            if isinstance(term_values, pa.Array)
+            else term_values.combine_chunks(),
+            "run_tf": run_tf,
+            "pos_flat": pi.astype(np.int32),
+            "pos_start": pos_start,
+            "dl": dl,
+        }
+
+    def _call_multifield(self, batch: pa.Table, ids_arr, ndocs: int) -> pa.Table:
+        """Multi-field tokenize: each text field's runs are built
+        independently (its own analyzer, positions and dl), extra fields'
+        terms are dictionary-prefixed with "<field>\\x1f", and the per-doc
+        run lists are interleaved field-major by one stable argsort — the
+        per-field-postings data model of DocumentStringToDocument.java:84-158
+        in ONE term dictionary."""
+        from ..query.ast import FIELD_SEP
+
+        cfg = self.cfg
+        specs = [(cfg.text_col, "")] + [(f, f + FIELD_SEP) for f in cfg.text_fields]
+        parts = [self._field_runs(batch[f], f, pfx, ndocs) for f, pfx in specs]
+
+        run_doc_cat = np.concatenate([p["run_doc"] for p in parts])
+        run_tf_cat = np.concatenate([p["run_tf"] for p in parts])
+        # absolute position-span starts in the concatenated pos_flat buffer
+        pos_base = np.cumsum([0] + [p["pos_flat"].size for p in parts[:-1]])
+        pos_start_cat = np.concatenate(
+            [p["pos_start"] + b for p, b in zip(parts, pos_base)]
+        )
+        pos_flat_cat = np.concatenate([p["pos_flat"] for p in parts])
+        terms_cat = pa.concat_arrays(
+            [pa.array([], type=pa.string())]
+            + [
+                p["term_values"].combine_chunks()
+                if isinstance(p["term_values"], pa.ChunkedArray)
+                else p["term_values"]
+                for p in parts
+            ]
+        )
+        # stable sort by doc: concatenation is field-major, so within a doc
+        # the default field's runs come first, then each extra field's —
+        # deterministic and order-preserving within a field
+        order = np.argsort(run_doc_cat, kind="stable")
+        runs_per_doc = np.bincount(run_doc_cat, minlength=ndocs)
+        outer_off = np.concatenate(([0], np.cumsum(runs_per_doc))).astype(np.int32)
+        term_values = terms_cat.take(pa.array(order))
+        run_tf = run_tf_cat[order]
+        terms_col = pa.ListArray.from_arrays(pa.array(outer_off), term_values)
+        tfs_col = pa.ListArray.from_arrays(pa.array(outer_off), pa.array(run_tf))
+
+        cols: dict[str, Any] = {
+            "__id__": ids_arr,
+            "shard": pa.array(np.zeros(ndocs, dtype=np.int32))
+            if self.skip_shard
+            else pa.array(
+                _shard_of(ids_arr.to_pylist(), cfg.num_shards)
+                + np.int32(self.shard_offset)
+            ),
+            "dl": pa.array(parts[0]["dl"]),
+            "terms": terms_col,
+            "tfs": tfs_col,
+        }
+        for (f, _), p in zip(specs[1:], parts[1:]):
+            cols[f"__dl__{f}"] = pa.array(p["dl"])
+        if cfg.store_positions:
+            L = run_tf.astype(np.int64)
+            total = int(L.sum())
+            out_starts = np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+            gather = np.repeat(pos_start_cat[order], L) + (
+                np.arange(total, dtype=np.int64) - np.repeat(out_starts, L)
+            )
+            flat = pos_flat_cat[gather] if total else np.empty(0, dtype=np.int32)
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(L))).astype(np.int32)),
+                pa.array(flat.astype(np.int32)),
             )
             cols["positions"] = pa.ListArray.from_arrays(pa.array(outer_off), inner)
         if cfg.hash_content:
@@ -508,6 +674,9 @@ class SegmentBuilder:
             "__id__": group["__id__"],
             "dl": pa.array(dl),
         }
+        for c in group.column_names:
+            if c.startswith("__dl__"):  # per-field doc lengths (field-scoped BM25)
+                doc_cols[c] = group[c]
         if cfg.hash_content and "content_sha256" in group.column_names:
             doc_cols["content_sha256"] = group["content_sha256"]
         if cfg.store_termvectors:
@@ -567,6 +736,13 @@ def _atomic_write_segment(seg_dir: str, fingerprint: str, postings: pa.Table, do
         "sum_dl": int(pa.compute.sum(docs["dl"]).as_py() or 0),
         "num_terms": len(postings),
     }
+    dl_fields = {
+        c[len("__dl__"):]: int(pa.compute.sum(docs[c]).as_py() or 0)
+        for c in docs.column_names
+        if c.startswith("__dl__")
+    }
+    if dl_fields:
+        stats["sum_dl_fields"] = dl_fields
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         json.dump(stats, f)
     shutil.rmtree(seg_dir, ignore_errors=True)
@@ -581,9 +757,10 @@ def add_documents(ds, index_dir: str, cfg: IndexConfig | None = None) -> IndexMa
 
     Like Lucene, deleted docs still count in df/term stats until a merge
     rewrites the segments (merge_index applies tombstones).
-    Scale note: the tombstone list is the new batch's id set; at 10^12-doc
-    scale you'd bloom-filter it against old segments first — here it is
-    written verbatim and applied as a hash-set mask at segment load."""
+    Scale note: the tombstone list is the new batch's id set; segment loads
+    apply it through the bloom-pre-filtered vectorized
+    :class:`..index.tombstones.TombstoneSet`, loaded per actor — the driver
+    never materializes the set."""
     manifest = IndexManifest.load(index_dir)
     cfg = cfg or IndexConfig(**manifest.config)
     base_cfg = IndexConfig(**manifest.config)
@@ -671,7 +848,11 @@ def append_tombstones(index_dir: str, ids: list[str], before_shard: int) -> None
 
 
 def load_tombstones(index_dir: str) -> dict[str, int]:
-    """id -> highest before_shard (deleted in all shards below it)."""
+    """id -> highest before_shard (deleted in all shards below it).
+
+    LEGACY/test helper: the query engine and merge no longer call this on
+    the driver — they hand tasks/actors the parquet path and use the
+    bloom-filtered vectorized :class:`..index.tombstones.TombstoneSet`."""
     path = os.path.join(index_dir, "tombstones.parquet")
     if not os.path.exists(path):
         return {}
@@ -682,16 +863,56 @@ def load_tombstones(index_dir: str) -> dict[str, int]:
     return out
 
 
+# files below this count have their parquet footers read serially on the
+# driver (cheaper than a Ray stage); at/above it footer reads fan out as a
+# map_batches over the path list — at the 10^6-file design point planning is
+# bounded by cluster parallelism, never a serial driver metadata loop
+PLAN_PARALLEL_MIN_FILES = int(os.environ.get("MLR_PLAN_PARALLEL_MIN", "64"))
+
+
+def _footer_rg_rows(path: str) -> list[int]:
+    md = pq.read_metadata(path)
+    return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+
+def _collect_rg_rows(paths: list[str]) -> dict[str, list[int]]:
+    """path → per-row-group row counts.  The driver only assembles the
+    (tiny, one-row-per-file) result; past PLAN_PARALLEL_MIN_FILES the
+    footer reads themselves run distributed."""
+    if len(paths) < PLAN_PARALLEL_MIN_FILES:
+        return {p: _footer_rg_rows(p) for p in paths}
+    import ray.data as rd
+
+    def read_footers(batch: pa.Table) -> pa.Table:
+        ps = batch["path"].to_pylist()
+        return pa.table(
+            {
+                "path": pa.array(ps, type=pa.string()),
+                "rg_rows": pa.array(
+                    [_footer_rg_rows(p) for p in ps], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    rows = (
+        rd.from_items([{"path": p} for p in paths])
+        .map_batches(read_footers, batch_format="pyarrow", batch_size=128)
+        .take_all()
+    )
+    return {r["path"]: list(r["rg_rows"]) for r in rows}
+
+
 def _plan_file_units(paths: list[str], target_docs: int) -> list[dict]:
     """Split input parquet files into (path, row-group range[, row slice])
     units of ~target_docs rows — the segment planning step.  A row group
     larger than 2×target is sub-split by row ranges so parallelism never
     degrades to the writer's row-group size.  Unit order (and thus shard ids
-    and docids) is deterministic: sorted by path, then range."""
+    and docids) is deterministic: sorted by path, then range.  Footer reads
+    run distributed past PLAN_PARALLEL_MIN_FILES (see _collect_rg_rows)."""
     units: list[dict] = []
+    rg_by_path = _collect_rg_rows(paths)
     for path in sorted(paths):
-        md = pq.read_metadata(path)
-        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        rg_rows = rg_by_path[path]
         start = 0
         acc = 0
         for i, nrows in enumerate(rg_rows):
@@ -756,7 +977,12 @@ class FileSegmentBuilder:
             batch["shard"],
         ):
             f = pq.ParquetFile(path)
-            cols = [self.cfg.text_col, *self.cfg.id_from, *self.cfg.stored_cols]
+            cols = [
+                self.cfg.text_col,
+                *self.cfg.text_fields,
+                *self.cfg.id_from,
+                *self.cfg.stored_cols,
+            ]
             if self.cfg.id_col:
                 cols.append(self.cfg.id_col)
             # prune at the read: only the needed columns leave storage
@@ -901,6 +1127,7 @@ def _publish_manifest(
     segments = []
     num_docs = 0
     sum_dl = 0
+    sum_dl_fields: dict[str, int] = {}
     seg_root = os.path.join(index_dir, "segments")
     for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []:
         if re.fullmatch(r"seg=\d+", name) is None:
@@ -927,6 +1154,8 @@ def _publish_manifest(
         )
         num_docs += m["num_docs"]
         sum_dl += m["sum_dl"]
+        for f, v in (m.get("sum_dl_fields") or {}).items():
+            sum_dl_fields[f] = sum_dl_fields.get(f, 0) + int(v)
 
     if bump_from is not None:
         parts = [
@@ -945,6 +1174,9 @@ def _publish_manifest(
         pq.write_table(merged, os.path.join(index_dir, "termstats.parquet"))
         num_terms = len(merged)
 
+    metrics: dict = {"num_terms_global": num_terms}
+    if sum_dl_fields:
+        metrics["sum_dl_fields"] = sum_dl_fields  # per-field avgdl source
     manifest = IndexManifest(
         version=(bump_from.version + 1) if bump_from else 1,
         num_docs=num_docs,
@@ -952,7 +1184,7 @@ def _publish_manifest(
         num_shards=cfg.num_shards,
         config=asdict(cfg),
         segments=segments,
-        metrics={"num_terms_global": num_terms},
+        metrics=metrics,
     )
     manifest.save(index_dir)
     return manifest

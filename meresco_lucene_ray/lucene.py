@@ -21,9 +21,13 @@ semantics stay:
   reference's ``info`` envelope attached.
 - readonly connections refuse updates with the reference's exact errors.
 
-Columnar adaptation (documented): this engine indexes ONE tokenized text
-column per core, so the facade is constructed with ``text_col`` (+
-``stored_cols``); wire TextFields land in those columns via ``doc_to_row``.
+Columnar adaptation (documented): the facade is constructed with
+``text_col`` (the default tokenized column) plus optional ``text_fields``
+— additional per-field-postings text columns, matching the reference's
+per-field Lucene postings (DocumentStringToDocument.java:84-158).  Wire
+TextFields land in their own columns when registered in ``text_fields``
+and fold into ``text_col`` otherwise; queries naming a registered text
+field become field-scoped TermQ/PhraseQ/PrefixQ.
 """
 
 from __future__ import annotations
@@ -58,6 +62,7 @@ class Lucene:
         readonly: bool = False,
         text_col: str = "content",
         stored_cols: Sequence[str] = (),
+        text_fields: Sequence[str] = (),
         num_actors: int = 2,
         index_config=None,
     ):
@@ -68,7 +73,10 @@ class Lucene:
         self._registry = self.settings.field_registry
         if index_config is None:
             index_config = self.settings.to_index_config(
-                text_col, id_col="__id__", stored_cols=tuple(stored_cols)
+                text_col,
+                id_col="__id__",
+                stored_cols=tuple(stored_cols),
+                text_fields=tuple(text_fields),
             )
         self._cfg = index_config
         self._num_actors = num_actors
@@ -89,6 +97,17 @@ class Lucene:
 
     def _has_index(self) -> bool:
         return os.path.exists(os.path.join(self._index_dir, "manifest.json"))
+
+    def wire_config(self):
+        """WireConfig matching this core's schema: wire terms naming the
+        text column (or a per-field text field) convert to (field-scoped)
+        text queries; anything else stays a keyword/docvalue query."""
+        from .query.wireproto import WireConfig
+
+        return WireConfig(
+            text_col=self._cfg.text_col,
+            text_cols=frozenset(self._cfg.text_fields),
+        )
 
     @property
     def searcher(self):
@@ -143,7 +162,11 @@ class Lucene:
         from .query.wireproto import wire_to_ast
 
         self.commit()
-        q = wire_to_ast(lucene_query) if isinstance(lucene_query, dict) else lucene_query
+        q = (
+            wire_to_ast(lucene_query, self.wire_config())
+            if isinstance(lucene_query, dict)
+            else lucene_query
+        )
         if self._has_index():
             delete_by_query(self._index_dir, q, searcher=self.searcher)
             self._refresh()
@@ -175,10 +198,13 @@ class Lucene:
             for r in adds:
                 for k in names:
                     cols[k].append(r.get(k))
-            if self._cfg.text_col in cols:
-                cols[self._cfg.text_col] = [
-                    v if v is not None else "" for v in cols[self._cfg.text_col]
-                ]
+            for tc in (self._cfg.text_col, *self._cfg.text_fields):
+                if tc in cols:
+                    cols[tc] = [v if v is not None else "" for v in cols[tc]]
+                elif tc != self._cfg.text_col:
+                    # a text field absent from this batch still needs its
+                    # (empty) column — the tokenizer reads every text field
+                    cols[tc] = ["" for _ in adds]
             ds = rd.from_arrow(pa.table(cols))
             if self._has_index():
                 add_documents(ds, self._index_dir, self._cfg)
@@ -224,7 +250,11 @@ class Lucene:
 
         stop = 10 if stop is None else stop
         start = 0 if start is None else start
-        q = wire_to_ast(lucene_query) if isinstance(lucene_query, dict) else lucene_query
+        q = (
+            wire_to_ast(lucene_query, self.wire_config())
+            if isinstance(lucene_query, dict)
+            else lucene_query
+        )
 
         sort = None
         if sort_keys:

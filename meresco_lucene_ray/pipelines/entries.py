@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 from typing import Callable
 
 import numpy as np
@@ -183,11 +184,83 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
             return t.append_column("src_lang", pa.array(paths, type=pa.list_(pa.string())))
 
         ds = ds.map_batches(derive, batch_format="pyarrow")
+        shutil.rmtree(staged, ignore_errors=True)  # crashed run leftovers would duplicate docs
         ds.write_parquet(staged)
         build_index(staged, idx_dir, cfg, target_docs_per_segment=1500)
     s = IndexSearcher(idx_dir, num_actors=4, score_f32=False, num_cpus=0.25)
     _SEARCHERS[sf_dir] = s
     return s
+
+
+def get_field_searcher(sf_dir: str) -> IndexSearcher:
+    """Two-text-field index (per-field postings): default field = full
+    ``text``, extra field ``head`` = its first 40 bytes (ASCII corpus, so
+    byte slice == SQL substr) — same tokens appear in both fields, scoped
+    queries must hit only their own field's postings with that field's
+    dl/avgdl stats."""
+    key_name = sf_dir + "#fields"
+    s = _SEARCHERS.get(key_name)
+    if s is not None:
+        return s
+    src = _documents_path(sf_dir)
+    cfg = IndexConfig(
+        text_col="text",
+        id_col="doc_id",
+        text_fields=("head",),
+        stored_cols=("doc_id",),
+        num_shards=4,
+        store_positions=True,
+        hash_content=False,
+        k1=K1,
+        b=B,
+    )
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{cfg.fingerprint()}:fields".encode()
+    ).hexdigest()[:16]
+    idx_dir = os.path.join("/tmp", "mlr_idx_cache", key)
+    os.makedirs(idx_dir, exist_ok=True)
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        staged = os.path.join(idx_dir, "staged")
+
+        def derive(t: pa.Table) -> pa.Table:
+            t = _strip_batch(t)
+            return t.append_column("head", pc.utf8_slice_codeunits(t["text"], 0, 40))
+
+        shutil.rmtree(staged, ignore_errors=True)  # crashed run leftovers would duplicate docs
+        read_parquet_clean(src, columns=["doc_id", "text"]).map_batches(
+            derive, batch_format="pyarrow"
+        ).write_parquet(staged)
+        build_index(staged, idx_dir, cfg, target_docs_per_segment=1500)
+    s = IndexSearcher(idx_dir, num_actors=2, score_f32=False, num_cpus=0.25)
+    _SEARCHERS[key_name] = s
+    return s
+
+
+def q_bm25_field_scoped(sf_dir: str) -> pa.Table:
+    """Field-scoped BM25 (per-field postings): TermQ('merge', field='head')
+    scores ONLY against the head field's postings, doc lengths and avgdl —
+    the reference's per-field Lucene postings semantics
+    (DocumentStringToDocument.java:84-158)."""
+    return _topk_scores(get_field_searcher(sf_dir), TermQ("merge", field="head"), 10)
+
+
+_BM25_FIELD_SCOPED_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENIZE.format(col="substr(text, 1, 40)")} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         (SELECT sum(len(toks)) FROM tok)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM tok
+),
+tf AS (SELECT doc_id, len(toks) AS dl, {_tf_sql("merge")} AS tf0 FROM tok),
+dfv AS (SELECT (SELECT count(*)::DOUBLE FROM tf WHERE tf0 > 0) AS df0)
+SELECT t.doc_id, {_round4_sql(_score_sql("merge", "t.tf0", "d.df0"))} AS score
+FROM tf t, stats s, dfv d
+WHERE t.tf0 > 0
+ORDER BY ({_score_sql("merge", "t.tf0", "d.df0")}) DESC, t.doc_id
+LIMIT 10
+"""
 
 
 def _topk_scores(searcher: IndexSearcher, q, k: int) -> pa.Table:
@@ -2562,6 +2635,7 @@ ORACLES: dict[str, str] = {
     "autocomplete": _autocomplete_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
     "bm25_term": _bm25_sql(["merge"], "or"),
+    "bm25_field_scoped": _BM25_FIELD_SCOPED_SQL,
     "bm25_or": _bm25_sql(["merge", "hash", "spark"], "or"),
     "bm25_and": _bm25_sql(["window", "vector"], "and"),
     "bm25_filter_lang": _bm25_sql(["merge"], "or", extra_where="t.lang = 'en'"),
@@ -2782,6 +2856,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.8
 
 QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "bm25_term": q_bm25_term,
+    "bm25_field_scoped": q_bm25_field_scoped,
     "bm25_or": q_bm25_or,
     "bm25_and": q_bm25_and,
     "bm25_filter_lang": q_bm25_filter_lang,

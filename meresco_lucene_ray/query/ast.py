@@ -30,16 +30,31 @@ class MatchAllQ:
     boost: float = 1.0
 
 
+# Per-field postings are keyed on "<field>\x1f<term>" in the ONE sorted term
+# dictionary (the reference keeps per-field Lucene postings,
+# DocumentStringToDocument.java:84-158); the index's default text field
+# stays unprefixed, so single-field indexes are byte-identical to before.
+# \x1f (unit separator) cannot appear in analyzed tokens.
+FIELD_SEP = "\x1f"
+
+
+def full_term(field: str | None, term: str) -> str:
+    """The posting-dictionary lookup key for a (field, term) pair."""
+    return term if not field else f"{field}{FIELD_SEP}{term}"
+
+
 @dataclass(frozen=True)
 class TermQ:
     term: str
     boost: float = 1.0
+    field: str | None = None  # None → the index's default text field
 
 
 @dataclass(frozen=True)
 class PhraseQ:
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -48,6 +63,7 @@ class PrefixQ:
 
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -56,6 +72,7 @@ class WildcardQ:
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -174,12 +191,13 @@ Query = (
 
 
 def query_terms(q) -> set[str]:
-    """All text terms referenced by a query (for global df collection)."""
+    """All posting-dictionary keys referenced by a query (for global df
+    collection) — field-scoped terms appear as their full prefixed keys."""
     out: set[str] = set()
     if isinstance(q, TermQ):
-        out.add(q.term)
+        out.add(full_term(q.field, q.term))
     elif isinstance(q, PhraseQ):
-        out.update(q.terms)
+        out.update(full_term(q.field, t) for t in q.terms)
     elif isinstance(q, BoolQ):
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
             out |= query_terms(sub)

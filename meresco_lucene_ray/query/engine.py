@@ -58,7 +58,14 @@ def _get_num_rows_task():
 class _SegmentActorImpl:
     """Holds several segments; all per-segment methods fan in here."""
 
-    def __init__(self, index_dir: str, seg_paths: list[str], tombstones: dict | None = None):
+    def __init__(self, index_dir: str, seg_paths: list[str], tombstones=None):
+        # ``tombstones``: a tombstones.parquet PATH (loaded here, once per
+        # actor, bloom pre-filtered per segment — index/tombstones.py), a
+        # legacy dict, or None
+        if isinstance(tombstones, str):
+            from ..index.tombstones import TombstoneSet
+
+            tombstones = TombstoneSet(tombstones)
         self.searchers = [
             SegmentSearcher(os.path.join(index_dir, p), tombstones) for p in seg_paths
         ]
@@ -129,9 +136,13 @@ class _SegmentActorImpl:
         return acc
 
     def all_terms_stats(self) -> dict[str, int]:
+        from .ast import FIELD_SEP
+
         acc: dict[str, int] = {}
         for s in self.searchers:
             for t, d in zip(s.terms, s.df.tolist()):
+                if FIELD_SEP in t:
+                    continue  # spell/term listings serve the default field
                 acc[t] = acc.get(t, 0) + d
         return acc
 
@@ -338,13 +349,16 @@ class IndexSearcher:
     def _open(self, manifest) -> None:
         import ray
 
-        from ..index.build import load_tombstones
+        from ..index.tombstones import tombstone_path
 
         self.manifest = manifest
         self.sim = self._similarity or BM25(
             k1=self.manifest.config.get("k1", 0.9), b=self.manifest.config.get("b", 0.4)
         )
-        tombstones = load_tombstones(self.index_dir) or None
+        # the driver NEVER loads the tombstone set — actors get the parquet
+        # path and each builds its bloom-filtered TombstoneSet in __init__,
+        # so driver memory stays O(1) at any tombstone count
+        tombstones = tombstone_path(self.index_dir)
         self._ts: tuple | None | bool = None  # lazy termstats (reset per version)
         segs = [s.path for s in self.manifest.segments]
         n_act = min(self._num_actors or max(1, len(segs)), max(1, len(segs)))
@@ -403,6 +417,10 @@ class IndexSearcher:
             "df": dfs,
             "f32": self.score_f32,
         }
+        sum_dl_fields = self.manifest.metrics.get("sum_dl_fields")
+        if sum_dl_fields:
+            n = max(self.manifest.num_docs, 1)
+            out["avgdl_fields"] = {f: v / n for f, v in sum_dl_fields.items()}
         if len(self._cache) >= 50:
             self._cache.pop(next(iter(self._cache)))
         self._cache[cache_key] = dict(out)

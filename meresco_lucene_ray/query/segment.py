@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 from ..index.build import SHARD_BITS
 from ..index.codec import decode_postings, decode_positions, delta_decode, varint_decode
 from .ast import (
+    FIELD_SEP,
     BoolQ,
     DocValEqQ,
     GeoDistanceQ,
@@ -41,6 +42,7 @@ from .ast import (
     RangeQ,
     TermQ,
     WildcardQ,
+    full_term,
 )
 from .scorer import BM25, bm25_tf_weight
 
@@ -53,7 +55,9 @@ BLOCK_MIN_PRUNE = 1024
 
 
 class SegmentSearcher:
-    def __init__(self, seg_dir: str, tombstones: dict[str, int] | None = None):
+    def __init__(self, seg_dir: str, tombstones=None):
+        # ``tombstones``: an index.tombstones.TombstoneSet (bloom-filtered,
+        # vectorized — the engine path) or a legacy {id: before_shard} dict
         post = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
         self.terms_arr: pa.Array = post["term"].combine_chunks()
         self.terms: list[str] = post["term"].to_pylist()
@@ -90,16 +94,49 @@ class SegmentSearcher:
         # df/avgdl until a merge rewrites the segment.
         self.shard = int(self.docid[0]) >> SHARD_BITS if self.n else 0
         self.live: np.ndarray | None = None
-        if tombstones:
-            ids = self.docs["__id__"].to_pylist()
-            dead = np.fromiter(
-                (tombstones.get(i, -1) > self.shard for i in ids), dtype=bool, count=len(ids)
-            )
-            if dead.any():
+        if tombstones is not None and len(tombstones) and self.n:
+            if isinstance(tombstones, dict):  # legacy/test path
+                ids = self.docs["__id__"].to_pylist()
+                dead = np.fromiter(
+                    (tombstones.get(i, -1) > self.shard for i in ids),
+                    dtype=bool,
+                    count=len(ids),
+                )
+                if not dead.any():
+                    dead = None
+            else:  # TombstoneSet: bloom pre-filter + vectorized exact probe
+                dead = tombstones.deleted_mask(self.docs["__id__"], self.shard)
+            if dead is not None and dead.any():
                 self.live = ~dead
 
     def _apply_live(self, mask: np.ndarray) -> np.ndarray:
         return mask & self.live if self.live is not None else mask
+
+    # ---- per-field scoring inputs (field-scoped BM25) --------------------
+    def _dl_for(self, field: str | None) -> np.ndarray:
+        """The doc-length array a (field, term) posting scores against:
+        the default field's ``dl`` or the field's own ``__dl__<field>``
+        column (per-field norms, DocumentStringToDocument.java:94-100)."""
+        if not field:
+            return self.dl
+        key = f"__fdl__{field}"
+        arr = self._col_cache.get(key)
+        if arr is None:
+            col = f"__dl__{field}"
+            if col not in self.docs.column_names:
+                raise KeyError(
+                    f"field {field!r} was not indexed as a text field "
+                    f"(no {col} column; IndexConfig.text_fields)"
+                )
+            arr = self.docs[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            self._col_cache[key] = arr
+        return arr
+
+    @staticmethod
+    def _avgdl_for(field: str | None, stats: dict) -> float:
+        if not field:
+            return stats["avgdl"]
+        return stats.get("avgdl_fields", {}).get(field, stats["avgdl"])
 
     # ---- raw access -----------------------------------------------------
     def col(self, name: str) -> np.ndarray:
@@ -202,12 +239,18 @@ class SegmentSearcher:
         if isinstance(q, TermQ):
             mask = np.zeros(n, dtype=bool)
             scores = np.zeros(n)
-            p = self.postings_local(q.term)
+            key = full_term(q.field, q.term)
+            p = self.postings_local(key)
             if p is not None:
                 idx, tf = p
                 mask[idx] = True
                 scores[idx] = sim.score(
-                    tf, self.dl[idx], N, dfs.get(q.term, 0), avgdl, q.boost
+                    tf,
+                    self._dl_for(q.field)[idx],
+                    N,
+                    dfs.get(key, 0),
+                    self._avgdl_for(q.field, stats),
+                    q.boost,
                 )
             return mask, scores
         if isinstance(q, PhraseQ):
@@ -257,14 +300,18 @@ class SegmentSearcher:
         raise TypeError(f"unsupported query node: {type(q)!r}")
 
     def _expand_multiterm(self, q) -> list[str]:
+        """Expand a prefix/wildcard to the matching FULL dictionary keys —
+        a field-scoped query expands within its "<field>\\x1f" key range
+        (still one contiguous bisectable slice of the sorted dictionary)."""
         if isinstance(q, PrefixQ):
             # term dict is sorted → binary-searchable range scan
             import bisect
 
-            lo = bisect.bisect_left(self.terms, q.prefix)
+            key_prefix = full_term(q.field, q.prefix)
+            lo = bisect.bisect_left(self.terms, key_prefix)
             out = []
             for i in range(lo, len(self.terms)):
-                if not self.terms[i].startswith(q.prefix):
+                if not self.terms[i].startswith(key_prefix):
                     break
                 out.append(self.terms[i])
             return out
@@ -275,6 +322,8 @@ class SegmentSearcher:
         rx = fnmatch.translate(q.pattern)
         if rx.endswith(r"\Z"):
             rx = rx[:-2] + "$"
+        if q.field:
+            rx = re.escape(q.field + FIELD_SEP) + rx
         mask = pc.match_substring_regex(self.terms_arr, "^" + rx)
         return self.terms_arr.filter(mask).to_pylist()
 
@@ -286,8 +335,9 @@ class SegmentSearcher:
             # analyzed-away phrase (e.g. ':;+') matches nothing, mirroring an
             # empty Lucene PhraseQuery (queryexpressiontolucenequerydict.py:225-228)
             return mask, scores
+        keys = [full_term(q.field, t) for t in q.terms]
         plists = []
-        for t in q.terms:
+        for t in keys:
             p = self.postings_local(t)
             if p is None:
                 return mask, scores
@@ -305,17 +355,17 @@ class SegmentSearcher:
         ranks = [np.searchsorted(pl, cand) for pl in plists]
         SHIFT = np.uint64(32)
         tf_arrays = []
-        for t, pl in zip(q.terms, plists):
+        for t, pl in zip(keys, plists):
             p = self.postings_local(t)
             tf_arrays.append(p[1][np.searchsorted(p[0], cand)])
-        flat0, starts0 = self.positions_bulk(q.terms[0], ranks[0], tf_arrays[0])
+        flat0, starts0 = self.positions_bulk(keys[0], ranks[0], tf_arrays[0])
         cand_ord0 = np.repeat(
             np.arange(cand.size, dtype=np.uint64), tf_arrays[0].astype(np.int64)
         )
         live_keys = (cand_ord0 << SHIFT) | flat0
         live_ord = cand_ord0
         for k in range(1, len(q.terms)):
-            flatk, _ = self.positions_bulk(q.terms[k], ranks[k], tf_arrays[k])
+            flatk, _ = self.positions_bulk(keys[k], ranks[k], tf_arrays[k])
             ordk = np.repeat(
                 np.arange(cand.size, dtype=np.uint64), tf_arrays[k].astype(np.int64)
             )
@@ -330,18 +380,20 @@ class SegmentSearcher:
         idx = cand[hit]
         mask[idx] = True
         # Lucene PhraseQuery: idf = sum of member-term idfs, tf = phrase freq
-        N, avgdl, dfs = stats["N"], stats["avgdl"], stats["df"]
+        N, dfs = stats["N"], stats["df"]
+        avgdl = self._avgdl_for(q.field, stats)
+        fdl = self._dl_for(q.field)
         idf_sum = float(
-            sum(np.log(1.0 + (N - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)) for t in q.terms)
+            sum(np.log(1.0 + (N - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)) for t in keys)
         )
         from .scorer import bm25_tf_weight
 
         if isinstance(sim, BM25):
             scores[idx] = q.boost * idf_sum * bm25_tf_weight(
-                freqs[hit], self.dl[idx], avgdl, sim.k1, sim.b
+                freqs[hit], fdl[idx], avgdl, sim.k1, sim.b
             )
         else:
-            scores[idx] = sim.score(freqs[hit], self.dl[idx], N, 0, avgdl, q.boost)
+            scores[idx] = sim.score(freqs[hit], fdl[idx], N, 0, avgdl, q.boost)
         return mask, scores
 
     def _eval_and_terms(self, term_qs, sim: BM25, stats: dict):
@@ -353,18 +405,17 @@ class SegmentSearcher:
         n = self.n
         infos = []
         for tq in term_qs:
-            ti = self.term_idx.get(tq.term)
+            key = full_term(tq.field, tq.term)
+            ti = self.term_idx.get(key)
             if ti is None:
                 return np.zeros(n, dtype=bool), np.zeros(n)
-            infos.append((tq, int(self.df[ti])))
+            infos.append((tq, int(self.df[ti]), key))
         order = sorted(range(len(infos)), key=lambda i: infos[i][1])
-        rare = infos[order[0]][0]
-        p = self.postings_local(rare.term)
+        p = self.postings_local(infos[order[0]][2])
         cand, _ = p
         tf_by_clause: dict[int, np.ndarray] = {order[0]: p[1]}
         for oi in order[1:]:
-            tq = infos[oi][0]
-            sub = self.postings_for_candidates(tq.term, cand)
+            sub = self.postings_for_candidates(infos[oi][2], cand)
             sub_local, sub_tf = sub
             pos = np.searchsorted(sub_local, cand)
             ok = (pos < sub_local.size) & (
@@ -380,11 +431,16 @@ class SegmentSearcher:
         scores = np.zeros(n)
         if cand.size:
             mask[cand] = True
-            N, avgdl, dfs = stats["N"], stats["avgdl"], stats["df"]
+            N, dfs = stats["N"], stats["df"]
             acc = np.zeros(cand.size)
-            for ci, (tq, _) in enumerate(infos):  # clause order, like the dense path
+            for ci, (tq, _, key) in enumerate(infos):  # clause order, like the dense path
                 acc += sim.score(
-                    tf_by_clause[ci], self.dl[cand], N, dfs.get(tq.term, 0), avgdl, tq.boost
+                    tf_by_clause[ci],
+                    self._dl_for(tq.field)[cand],
+                    N,
+                    dfs.get(key, 0),
+                    self._avgdl_for(tq.field, stats),
+                    tq.boost,
                 )
             scores[cand] = acc
         return mask, scores
@@ -438,7 +494,11 @@ class SegmentSearcher:
             or getattr(self, "_blk_maxtf", None) is None
         ):
             return None
-        if isinstance(q, TermQ) and q.boost > 0:
+        # field-scoped clauses use per-field dl/avgdl — the block bounds are
+        # computed against the default field's norms, so hand those to the
+        # dense path (correctness first; field-scoped block metadata would
+        # need per-field blk_maxtfdl)
+        if isinstance(q, TermQ) and q.boost > 0 and q.field is None:
             return [q]
         if (
             isinstance(q, BoolQ)
@@ -447,7 +507,10 @@ class SegmentSearcher:
             and not q.filter
             and not q.must_not
             and q.boost == 1.0
-            and all(isinstance(c, TermQ) and c.boost > 0 for c in q.should)
+            and all(
+                isinstance(c, TermQ) and c.boost > 0 and c.field is None
+                for c in q.should
+            )
         ):
             return list(q.should)
         return None
@@ -833,15 +896,22 @@ class SegmentSearcher:
         ok = keys >= 0
         return keys[ok], vals[ok]
 
-    def prefix_terms(self, prefix: str, limit: int) -> tuple[list[str], np.ndarray]:
+    def prefix_terms(
+        self, prefix: str, limit: int, field: str | None = None
+    ) -> tuple[list[str], np.ndarray]:
         import bisect
 
-        lo = bisect.bisect_left(self.terms, prefix)
+        scan_prefix = full_term(field, prefix)
+        strip = len(scan_prefix) - len(prefix)  # drop the "<field>\x1f" part
+        lo = bisect.bisect_left(self.terms, scan_prefix)
         terms, dfs = [], []
         for i in range(lo, len(self.terms)):
-            if not self.terms[i].startswith(prefix) or len(terms) >= limit:
+            t = self.terms[i]
+            if not t.startswith(scan_prefix) or len(terms) >= limit:
                 break
-            terms.append(self.terms[i])
+            if field is None and FIELD_SEP in t:
+                continue  # default-field scan skips other fields' keys
+            terms.append(t[strip:] if strip else t)
             dfs.append(int(self.df[i]))
         return terms, np.asarray(dfs, dtype=np.int64)
 

@@ -83,13 +83,18 @@ class LuceneServer:
     # ---- per-core endpoints ----------------------------------------------
     def _update(self, core: Lucene, Method, Body, identifier=None, **_):
         fields = json.loads(Body)
-        # this engine tokenizes ONE text column per core: every TextField
-        # folds into it (doc_to_row joins repeated values with a space, the
-        # positionIncrementGap analog); typed/facet/key fields keep their
-        # own columns and must be in the core's stored_cols to be queried
+        # TextFields registered in the core's ``text_fields`` keep their own
+        # per-field postings (DocumentStringToDocument.java:84-158); only
+        # UNREGISTERED TextFields fold into the default text column
+        # (doc_to_row joins repeated values with a space, the
+        # positionIncrementGap analog).  Typed/facet/key fields keep their
+        # own columns and must be in the core's stored_cols to be queried.
         text_col = core._cfg.text_col
+        own = {text_col, *core._cfg.text_fields}
         fields = [
-            {**f, "name": text_col} if f.get("type") == "TextField" else f
+            {**f, "name": text_col}
+            if f.get("type") == "TextField" and f["name"] not in own
+            else f
             for f in fields
         ]
         core.add_document(fields, identifier=identifier)
@@ -104,10 +109,12 @@ class LuceneServer:
 
     @staticmethod
     def _fold_fields(q: Any, text_col: str, stored: frozenset) -> Any:
-        """The update route folds every TextField into the core's one
-        tokenized column; queries against those folded field names must
-        follow (a field that is neither stored nor ``__id__`` can only
-        mean the text column)."""
+        """The update route folds UNREGISTERED TextFields into the core's
+        default tokenized column; queries against those folded field names
+        must follow (a field that is neither stored, a registered text
+        field, nor ``__id__`` can only mean the text column).  Registered
+        ``text_fields`` are in ``stored`` here and pass through untouched —
+        wire_to_ast turns them into field-scoped queries."""
         if isinstance(q, dict):
             out = {k: LuceneServer._fold_fields(v, text_col, stored) for k, v in q.items()}
             term = out.get("term")
@@ -131,7 +138,9 @@ class LuceneServer:
         t0 = time.monotonic()
         times: dict[str, int] = {}
         query = self._fold_fields(
-            d["query"], core._cfg.text_col, frozenset(core._cfg.stored_cols)
+            d["query"],
+            core._cfg.text_col,
+            frozenset(core._cfg.stored_cols) | frozenset(core._cfg.text_fields),
         )
         res = core.execute_query(
             lucene_query=query,

@@ -177,6 +177,9 @@ class LuceneSettings:
         build commits per segment atomically)."""
         kind, stem = _ANALYZER_KINDS[self.analyzer["type"]]
         cfg_kw: dict[str, Any] = {"analyzer": kind, "stem": stem}
+        if self.analyzer.get("stemmingFields"):
+            # MerescoDutchStemmingAnalyzer(String[]) — stem only those fields
+            cfg_kw["stem_fields"] = tuple(self.analyzer["stemmingFields"])
         sim = self.create_similarity()
         if isinstance(sim, BM25):
             cfg_kw.update(k1=sim.k1, b=sim.b)

@@ -386,3 +386,60 @@ def test_query_side_analyzer_selection():
     assert cql_to_query('"oc-0123"', std) == PhraseQ(("oc", "0123"))
     # whitespace keeps case and punctuation
     assert cql_to_query('"Foo.Bar"', ws) == TermQ("Foo.Bar", boost=1.0)
+
+
+def test_multiple_unqualified_text_fields_per_field_postings():
+    # testMultipleUnqualifiedTermFields with BOTH unqualified fields as true
+    # per-field text fields (queryexpressiontolucenequerydicttest.py:93-111)
+    # — the reference's exact golden wire dict, including per-clause boosts
+    from meresco_lucene_ray.query.wireproto import WireConfig, ast_to_wire
+
+    cfg = CqlConfig(
+        text_col="unqualified",
+        text_cols=frozenset({"aField", "oField"}),
+        unqualified_fields=(("aField", 1.0), ("oField", 2.0)),
+    )
+    q = cql_to_query("value", cfg)
+    assert q == BoolQ(
+        should=(
+            TermQ("value", boost=1.0, field="aField"),
+            TermQ("value", boost=2.0, field="oField"),
+        )
+    )
+    wire = ast_to_wire(
+        q, WireConfig(text_col="unqualified", text_cols=frozenset({"aField", "oField"}))
+    )
+    wire.pop("boost", None)  # the reference golden carries no outer boost
+    assert wire == {
+        "type": "BooleanQuery",
+        "clauses": [
+            {
+                "type": "TermQuery",
+                "term": {"field": "aField", "value": "value"},
+                "boost": 1.0,
+                "occur": "SHOULD",
+            },
+            {
+                "type": "TermQuery",
+                "term": {"field": "oField", "value": "value"},
+                "boost": 2.0,
+                "occur": "SHOULD",
+            },
+        ],
+    }
+
+
+def test_qualified_text_field_scopes_query():
+    # a qualified query on a registered per-field text column converts to a
+    # field-scoped term/phrase/prefix (DocumentStringToDocument.java:84-158
+    # keeps per-field postings; _fieldQuery → _determineQuery :126-172)
+    from meresco_lucene_ray.query.ast import PhraseQ, PrefixQ
+
+    cfg = CqlConfig(text_col="body", text_cols=frozenset({"title"}))
+    assert cql_to_query("title=word", cfg) == TermQ("word", field="title")
+    assert cql_to_query('title="two words"', cfg) == PhraseQ(
+        ("two", "words"), field="title"
+    )
+    assert cql_to_query("title=wor*", cfg) == PrefixQ("wor", field="title")
+    # the default text field stays unscoped (field=None) — existing behavior
+    assert cql_to_query("body=word", cfg) == TermQ("word")
