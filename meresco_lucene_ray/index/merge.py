@@ -131,20 +131,25 @@ class SegmentMerger:
         }
 
     def _do_merge(self, seg_paths: list[str], new_shard: int, seg_dir: str, fp: str):
-        from .build import load_tombstones
+        from .tombstones import TombstoneSet, tombstone_path
 
         decoded = [_decode_whole_segment(os.path.join(self.index_dir, p)) for p in seg_paths]
         # merging EXPUNGES tombstoned docs (Lucene: merges drop deletes);
-        # keep masks + compact local-docid remaps per source segment
-        tombstones = load_tombstones(self.index_dir)
+        # keep masks + compact local-docid remaps per source segment.
+        # This runs inside the merge TASK — the set is loaded off-driver and
+        # the per-doc probe is the vectorized exact lookup (no bloom needed:
+        # every id is probed exactly once here).
+        tp = tombstone_path(self.index_dir)
+        tombstones = TombstoneSet(tp) if tp else None
         for d in decoded:
-            ids = d["docs_table"]["__id__"].to_pylist()
+            ids_arr = d["docs_table"]["__id__"]
             shard = (
-                int(d["docs_table"]["docid"][0].as_py()) >> SHARD_BITS if len(ids) else 0
+                int(d["docs_table"]["docid"][0].as_py()) >> SHARD_BITS if len(ids_arr) else 0
             )
-            keep = np.fromiter(
-                (tombstones.get(i, -1) <= shard for i in ids), dtype=bool, count=len(ids)
-            )
+            if tombstones is None:
+                keep = np.ones(len(ids_arr), dtype=bool)
+            else:
+                keep = tombstones.before_shard_of(ids_arr) <= shard
             d["keep_doc"] = keep
             d["remap"] = np.cumsum(keep) - 1  # old local -> new local (valid where keep)
             # filter postings rows by their doc's liveness
