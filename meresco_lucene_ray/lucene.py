@@ -324,9 +324,13 @@ class Lucene:
         names = self.searcher.fieldnames()
         return ListResponse(total=len(names), hits=names)
 
-    def drilldown_fieldnames(self, path=None, limit: int = 50) -> ListResponse:
+    def drilldown_fieldnames(
+        self, path=None, limit: int = 50, order: str = "taxonomy"
+    ) -> ListResponse:
         """:150-159: no path → the registered drilldown dims; otherwise
-        ``path[0]`` is the dim and the rest the taxonomy path."""
+        ``path[0]`` is the dim and the rest the taxonomy path.  The facade
+        defaults to the reference's taxonomy (insertion) order
+        (Lucene.java:692-713); pass ``order='count'`` for most-frequent-first."""
         if not path:
             names = (
                 list(self._registry.drilldown_field_names)[:limit]
@@ -335,7 +339,7 @@ class Lucene:
             )
         else:
             names = self.searcher.drilldown_fieldnames(
-                path[0], path=tuple(path[1:]), limit=limit
+                path[0], path=tuple(path[1:]), limit=limit, order=order
             )
         return ListResponse(total=len(names), hits=names)
 

@@ -99,6 +99,14 @@ class _SegmentActorImpl:
                 out[v] = out.get(v, 0) + c
         return out
 
+    def facet_children_first(self, col, path=()):
+        out: dict[str, int] = {}
+        for s in self.searchers:
+            for v, d in s.facet_children_first(col, path).items():
+                if d < out.get(v, 1 << 62):
+                    out[v] = d
+        return out
+
     def dedup_groups(self, q, sim, stats, key_col, sort_col):
         return pa.concat_tables(
             [s.dedup_groups(q, sim, stats, key_col, sort_col) for s in self.searchers],
@@ -880,12 +888,32 @@ class IndexSearcher:
         return sorted({cfg.get("text_col", "content"), *cfg.get("stored_cols", ())})
 
     def drilldown_fieldnames(
-        self, col: str, path: Sequence[str] = (), limit: int = 100
+        self,
+        col: str,
+        path: Sequence[str] = (),
+        limit: int = 100,
+        order: str = "count",
     ) -> list[str]:
         """Taxonomy children listing (drilldownFieldnames, Lucene.java:692-713):
         the distinct child values one level below ``path`` in a hierarchical
-        facet column, most-frequent first (the reference returns taxonomy
-        order; count order is this engine's facet convention)."""
+        facet column.  ``order='taxonomy'`` matches the reference exactly —
+        TaxonomyReader.getChildren walks children in insertion order, i.e.
+        the order labels were first seen while indexing (first-occurrence
+        docid here, which is globally ingestion-monotone; deleted docs keep
+        their labels, as a Lucene taxonomy never shrinks).  The default
+        ``order='count'`` keeps this engine's most-frequent-first facet
+        convention."""
+        if order == "taxonomy":
+            import ray
+
+            merged: dict[str, int] = {}
+            for part in ray.get(
+                [a.facet_children_first.remote(col, tuple(path)) for a in self.actors]
+            ):
+                for v, d in part.items():
+                    if d < merged.get(v, 1 << 62):
+                        merged[v] = d
+            return [v for v, _ in sorted(merged.items(), key=lambda kv: kv[1])][:limit]
         res = self.execute(MatchAllQ(), stop=0, facets=[(col, "hier")])
         data = res.drilldown_data.get(col, {})
         prefix = ">".join(path) + ">" if path else ""

@@ -829,6 +829,35 @@ class SegmentSearcher:
         uniq, cnt = np.unique(sel, return_counts=True)
         return {v: int(c) for v, c in zip(uniq.tolist(), cnt.tolist())}
 
+    def facet_children_first(self, col: str, path: Sequence[str] = ()) -> dict[str, int]:
+        """First-occurrence docid per taxonomy child one level below ``path``
+        (drilldownFieldnames taxonomy-order support, Lucene.java:692-713):
+        the reference's TaxonomyReader returns children in insertion order —
+        the order labels were first added while indexing.  Docids here are
+        globally monotone with ingestion order, so min-docid-per-child IS
+        that order.  Deliberately no live-doc filter: a Lucene taxonomy
+        never forgets labels of deleted docs."""
+        depth = len(path) + 1
+        level = self._facet_level_col(col, depth)
+        keep = level != np.array(None)
+        if path:
+            prefix = ">".join(path) + ">"
+            pref_ok = np.array(
+                [isinstance(v, str) and v.startswith(prefix) for v in level], dtype=bool
+            )
+            keep &= pref_ok
+        idx = np.flatnonzero(keep)
+        if not len(idx):
+            return {}
+        vals = level[idx]
+        if path:
+            plen = len(prefix)
+            vals = np.array([v[plen:] for v in vals], dtype=object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        first = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, inv, self.docid[idx])
+        return {str(v): int(d) for v, d in zip(uniq.tolist(), first.tolist())}
+
     def dedup_groups(
         self, q, sim: BM25, stats: dict, key_col: str, sort_col: str | None
     ) -> pa.Table:

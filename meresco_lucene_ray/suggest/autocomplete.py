@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis import char_ngrams, tokenize, word_shingles
+from ..analysis import arrow_tokens, char_ngrams, tokenize, word_shingles
 from .spell import levenshtein
 
 
@@ -60,26 +60,74 @@ def build_suggestion_index(
 
     from ..functions.hashing import fnv1a_arrow
 
+    empty = pa.table(
+        {
+            "shingle": pa.array([], type=pa.string()),
+            "key": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def _str_col(batch: pa.Table, name: str | None, n_rows: int):
+        if name is None:
+            return pa.array([""] * n_rows, type=pa.string())
+        col = pc.fill_null(pc.cast(batch[name], pa.string()), "")
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
     def explode(batch: pa.Table) -> pa.Table:
-        values = batch[value_col].to_pylist()
-        n_rows = len(values)
-        keys = batch[key_col].to_pylist() if key_col else [None] * n_rows
-        types = batch[type_col].to_pylist() if type_col else [None] * n_rows
-        creators = batch[creator_col].to_pylist() if creator_col else [None] * n_rows
-        out_sh, out_key = [], []
-        for v, k, ty, cr in zip(values, keys, types, creators):
-            toks = tokenize(v or "")
-            prefix = f"{ty or ''}{CONCAT_MARKER}{cr or ''}{CONCAT_MARKER}"
-            for n in range(min_shingle, max_shingle + 1):
-                for i in range(len(toks) - n + 1):
-                    out_sh.append(prefix + " ".join(toks[i : i + n]))
-                    out_key.append(k if k is not None else -1)
-        sh = pa.array(out_sh, type=pa.string())
+        """Shingle explode, Arrow/numpy end to end: tokenize the whole column
+        in C kernels (``arrow_tokens``, pinned token-equal to the per-row
+        spec by tests/test_properties.py), then build each shingle length n
+        as a windowed ``binary_join_element_wise`` over the doc-contiguous
+        token stream — valid starts are where ``doc_idx[i] == doc_idx[i+n-1]``.
+        No Python loop over rows or shingles."""
+        n_rows = len(batch)
+        codes, doc_idx, dictionary, _dl = arrow_tokens(batch[value_col])
+        if not len(codes):
+            return empty
+        toks = dictionary.take(pa.array(codes))
+        sh_parts: list[pa.Array] = []
+        doc_parts: list[np.ndarray] = []
+        for n in range(min_shingle, max_shingle + 1):
+            if n == 1:
+                sh_parts.append(toks)
+                doc_parts.append(doc_idx)
+                continue
+            if len(codes) < n:
+                continue
+            mask = doc_idx[: -(n - 1)] == doc_idx[n - 1 :]
+            starts = np.flatnonzero(mask)
+            if not starts.size:
+                continue
+            windows = [toks.take(pa.array(starts + j)) for j in range(n)]
+            sh_parts.append(pc.binary_join_element_wise(*windows, " "))
+            doc_parts.append(doc_idx[starts])
+        if not sh_parts:
+            return empty
+        shingles = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in sh_parts]
+        )
+        docs = np.concatenate(doc_parts)
+        # the reference's type$$--$$creator$$--$$value term scheme is applied
+        # even when untyped (SuggestionIndex.java:57,116)
+        prefix = pc.binary_join_element_wise(
+            _str_col(batch, type_col, n_rows),
+            _str_col(batch, creator_col, n_rows),
+            "",
+            CONCAT_MARKER,
+        )
+        sh = pc.binary_join_element_wise(prefix.take(pa.array(docs)), shingles, "")
+        sh = sh.combine_chunks() if isinstance(sh, pa.ChunkedArray) else sh
+        if key_col:
+            kcol = pc.fill_null(pc.cast(batch[key_col], pa.int64()), -1)
+            keys = kcol.to_numpy(zero_copy_only=False)[docs]
+        else:
+            keys = np.full(len(docs), -1, dtype=np.int64)
         part = (fnv1a_arrow(sh) % np.uint64(num_parts)).astype(np.int64)
         return pa.table(
             {
                 "shingle": sh,
-                "key": pa.array(out_key, type=pa.int64()),
+                "key": pa.array(keys),
                 "part": pa.array(part),
             }
         )

@@ -176,3 +176,62 @@ def test_suggestion_type_creator_filters(ray_session, tmp_path):
     # missing creator stored as empty string
     beton = r.suggest("harry beton", filters=["creator="])
     assert [s for s, _ in beton] == ["harry beton"]
+
+
+def test_vectorized_explode_matches_per_row_spec(ray_session, tmp_path):
+    """The Arrow-vectorized shingle explode produces EXACTLY the multiset of
+    (shingle, keys) rows the per-row reference spec defines
+    (SuggestionIndex.java:94-121: tokenize, shingle lengths 1..3, the
+    type$$--$$creator$$--$$value term scheme) — including unicode values,
+    null values, null types/creators and missing keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from meresco_lucene_ray.analysis import tokenize
+    from meresco_lucene_ray.suggest.autocomplete import (
+        CONCAT_MARKER,
+        build_suggestion_index,
+    )
+
+    values = [
+        "Harry Potter and the Stone",
+        None,
+        "  punctuation, splits; here!  ",
+        "ünïcode Grüße straße",
+        "one",
+        "",
+        "a b a b a",
+    ]
+    types = ["book", None, "page", None, "book", None, "x"]
+    creators = [None, "rowling", None, "göthe", "x", None, None]
+    keys = [1, 2, None, 4, 5, 6, 7]
+    rows = pa.table(
+        {"value": pa.array(values), "type": pa.array(types),
+         "creator": pa.array(creators), "key": pa.array(keys, type=pa.int64())}
+    )
+    path = str(tmp_path / "sugg.parquet")
+    build_suggestion_index(
+        rd.from_arrow(rows), "value", path, key_col="key",
+        type_col="type", creator_col="creator",
+    )
+    got = pq.read_table(path)
+
+    expect: dict[str, tuple[int, set]] = {}
+    for v, ty, cr, k in zip(values, types, creators, keys):
+        toks = tokenize(v or "")
+        prefix = f"{ty or ''}{CONCAT_MARKER}{cr or ''}{CONCAT_MARKER}"
+        for n in range(1, 4):
+            for i in range(len(toks) - n + 1):
+                sh = prefix + " ".join(toks[i : i + n])
+                cnt, ks = expect.get(sh, (0, set()))
+                if k is not None:  # null keys never reach the keys list
+                    ks.add(k)
+                expect[sh] = (cnt + 1, ks)
+    got_map = {
+        s: (int(c), set(kk))
+        for s, c, kk in zip(
+            got["shingle"].to_pylist(), got["count"].to_pylist(), got["keys"].to_pylist()
+        )
+    }
+    assert got_map == expect

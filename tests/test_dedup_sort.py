@@ -95,3 +95,44 @@ def test_drilldown_fieldnames(grouped_index):
     leaves = set(s.drilldown_fieldnames("cat", ["top", "mid0"]))
     assert leaves <= {"leaf0", "leaf1", "leaf2", "leaf3"} and leaves
     assert s.drilldown_fieldnames("cat", ["nope"]) == []
+
+
+def test_drilldown_fieldnames_taxonomy_order(ray_session, tmp_path):
+    """order='taxonomy' mirrors the reference exactly (Lucene.java:692-713):
+    TaxonomyReader children come back in INSERTION order — the order labels
+    were first seen while indexing — not count order, not lexicographic.
+    A Lucene taxonomy also never shrinks: deleting every doc carrying a
+    label leaves the label in place."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.index.build import delete_documents
+
+    paths = [
+        ["r", "zeta"],   # first label seen: zeta (lexicographically last)
+        ["r", "alpha"],
+        ["r", "alpha"],
+        ["r", "mid"],
+        ["r", "alpha"],  # alpha wins on count, zeta on insertion
+    ]
+    rows = {
+        "__id__": [f"d{i}" for i in range(len(paths))],
+        "text": ["w%d common" % i for i in range(len(paths))],
+        "cat": pa.array(paths, type=pa.list_(pa.string())),
+    }
+    d = str(tmp_path / "taxidx")
+    cfg = IndexConfig(text_col="text", id_col="__id__", stored_cols=("cat",), num_shards=2)
+    build_index(rd.from_arrow(pa.table(rows)), d, cfg)
+    s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
+
+    assert s.drilldown_fieldnames("cat", ["r"], order="taxonomy") == ["zeta", "alpha", "mid"]
+    # count order differs (alpha has 3 occurrences)
+    assert s.drilldown_fieldnames("cat", ["r"], order="count")[0] == "alpha"
+    assert s.drilldown_fieldnames("cat", order="taxonomy") == ["r"]
+    # limit applies after ordering
+    assert s.drilldown_fieldnames("cat", ["r"], limit=2, order="taxonomy") == ["zeta", "alpha"]
+
+    # taxonomy never shrinks: delete the only 'zeta' doc — label stays, and
+    # still first (its first-seen position is immutable)
+    delete_documents(d, ["d0"])
+    s.refresh()
+    assert s.drilldown_fieldnames("cat", ["r"], order="taxonomy") == ["zeta", "alpha", "mid"]
