@@ -24,6 +24,7 @@ and buckets.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -440,13 +441,53 @@ def verify_neardup_pairs(
         first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         return pa.table({"id_a": pa.array(a[first]), "id_b": pa.array(b[first])})
 
-    pair_ds = buckets.map_batches(explode_pairs, batch_format="pyarrow")
+    import ray
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+    )
+    empty_out = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    # materialize the candidate pairs once (block refs only) — the count
+    # gates the strategy and BOTH the id filter and the verify consume them
+    pair_ds = _snap_nonempty(
+        buckets.map_batches(explode_pairs, batch_format="pyarrow"), empty_pairs
+    )
+    n_pairs = pair_ds.count()
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_out)
+
+    # Candidates are a tiny fraction of the corpus at any scale — shingling
+    # every doc and shuffling every blob through two hash joins does O(corpus)
+    # work for O(candidates) output.  When the pair set fits the broadcast
+    # gate, ship the involved-id array once (ray.put) and semi-filter the
+    # corpus BEFORE the shingle stage; past the gate keep the full-corpus
+    # path (the joins then drop uninvolved blobs).
+    broadcast_max = int(os.environ.get("MLR_NEARDUP_BROADCAST_MAX", 4_000_000))
+    involved_ref = None
+    if n_pairs <= broadcast_max:
+        from .joins import broadcast_semi, gather_small
+
+        got = gather_small(pair_ds, ["id_a", "id_b"])
+        involved = np.unique(np.concatenate([got["id_a"], got["id_b"]]))
+        involved_ref = ray.put(involved)
+        sig_input = broadcast_semi(ds, id_col, involved_ref)
+    else:
+        sig_input = ds
+
     def shingle_set_stage(batch: pa.Table) -> pa.Table:
         return cached_stage(_ShingleSetStage, id_col, text_col, n)(batch)
 
     # materialize once — BOTH joins consume it (re-executing the tokenize +
     # shingle stage twice is the recompute trap flagged in round 1)
-    sigs = ds.map_batches(
+    sigs = sig_input.map_batches(
         shingle_set_stage, batch_format="pyarrow", batch_size=1024
     ).materialize()
 
@@ -461,18 +502,6 @@ def verify_neardup_pairs(
 
     def _as_b(t: pa.Table) -> pa.Table:
         return t.select(["__sid__", "shingle_hashes"]).rename_columns(["id_b", "sh_b"])
-
-    joined = pair_ds.join(
-        sigs.map_batches(_as_a, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=4,
-        on=("id_a",),
-    ).join(
-        sigs.map_batches(_as_b, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=4,
-        on=("id_b",),
-    )
 
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -529,6 +558,64 @@ def verify_neardup_pairs(
         first = np.ones(a.size, dtype=bool)
         first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
         return t.take(pa.array(order[first]))
+
+    # Driver verify gate: with few candidate pairs the two hash joins are
+    # pure all-to-all overhead — stream the (already involved-only) sig rows
+    # in, gather the pairs, and run the SAME vectorized verify kernel once.
+    # Driver memory is O(pairs × avg shingle-blob), bounded by the gate.
+    driver_max = int(os.environ.get("MLR_NEARDUP_DRIVER_MAX", 200_000))
+    if involved_ref is not None and n_pairs <= driver_max:
+        import ray.data as rd
+
+        sig_parts = list(sigs.iter_batches(batch_format="pyarrow", batch_size=8192))
+        sig_parts = [t for t in sig_parts if t.num_columns]
+        if not sig_parts:
+            return rd.from_arrow(empty_out)
+        sig_tbl = pa.concat_tables(sig_parts, promote_options="default")
+        sid = sig_tbl["__sid__"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sid, kind="stable")
+        sid_s = sid[order]
+        blobs = sig_tbl["shingle_hashes"].combine_chunks().take(pa.array(order))
+        a, b = got["id_a"], got["id_b"]
+        # global distinct BEFORE verify (≡ distinct after: dup pairs verify
+        # to identical rows)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.ones(a.size, dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[first], b[first]
+        pos_a = np.searchsorted(sid_s, a)
+        pos_b = np.searchsorted(sid_s, b)
+        ok = (
+            (pos_a < sid_s.size)
+            & (pos_b < sid_s.size)
+            & (sid_s[np.minimum(pos_a, sid_s.size - 1)] == a)
+            & (sid_s[np.minimum(pos_b, sid_s.size - 1)] == b)
+        )
+        a, b, pos_a, pos_b = a[ok], b[ok], pos_a[ok], pos_b[ok]
+        t = pa.table(
+            {
+                "id_a": pa.array(a),
+                "id_b": pa.array(b),
+                "sh_a": blobs.take(pa.array(pos_a)),
+                "sh_b": blobs.take(pa.array(pos_b)),
+            }
+        )
+        return rd.from_arrow(verify(t))
+
+    # distributed path: join partition count scales with the pair set
+    num_partitions = max(4, min(256, n_pairs // 1_000_000 + 4))
+    joined = pair_ds.join(
+        sigs.map_batches(_as_a, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_a",),
+    ).join(
+        sigs.map_batches(_as_b, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_b",),
+    )
 
     # global distinct on the small VERIFIED set: coalesce to one block, drop
     # cross-band duplicates (identical jaccard by construction)
@@ -773,13 +860,48 @@ def connected_components(
         return pa.table({"node": pa.array(src[first]), "nbr": pa.array(dst[first])})
 
     edges = snap(pairs.map_batches(symmetric, batch_format="pyarrow"))
-    if edges.count() == 0:  # no pairs → no components (Ray 2.49's hash join
+    n_edges = edges.count()
+    if n_edges == 0:  # no pairs → no components (Ray 2.49's hash join
         import ray.data as rd  # cannot take an all-empty side)
 
         return rd.from_arrow(
             pa.table(
                 {"node": pa.array([], type=pa.int64()), "component": pa.array([], type=pa.int64())}
             )
+        )
+
+    # Driver gate: below the threshold the per-round hash joins + groupbys
+    # are pure all-to-all overhead — 16 bytes/edge means the default 2M-edge
+    # gate is a ~32 MB driver array; the same min-label propagation with
+    # pointer jumping runs in numpy in milliseconds.  Past the gate the
+    # distributed rounds below handle any edge count.
+    driver_max = int(os.environ.get("MLR_CC_DRIVER_MAX", 2_000_000))
+    if n_edges <= driver_max:
+        import ray.data as rd
+
+        from .joins import gather_small
+
+        got = gather_small(edges, ["node", "nbr"])
+        nodes = np.unique(np.concatenate([got["node"], got["nbr"]]))
+        s = np.searchsorted(nodes, got["node"])
+        d = np.searchsorted(nodes, got["nbr"])
+        label = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(max_iters):
+            new = label.copy()
+            np.minimum.at(new, s, label[d])
+            np.minimum.at(new, d, label[s])
+            new = np.minimum(new, new[new])  # pointer jumping
+            if np.array_equal(new, label):
+                break
+            label = new
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} iterations"
+            )
+        # labels are indices into the SORTED node array, so the min index is
+        # the min node id — exactly the distributed path's component choice
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes), "component": pa.array(nodes[label])})
         )
 
     if num_partitions is None:
@@ -889,8 +1011,23 @@ def dedup_keep_canonical(ds, components, id_col: str = "doc_id"):
             {id_col: pa.array([], type=pa.int64()), "__drop__": pa.array([], type=pa.int8())}
         ),
     )
-    if drops.count() == 0:  # nothing to drop — and Ray 2.49's hash join
-        return ds           # cannot take an all-empty side at all
+    n_drops = drops.count()
+    if n_drops == 0:  # nothing to drop — and Ray 2.49's hash join
+        return ds     # cannot take an all-empty side at all
+
+    # Broadcast gate: the drop-id set is O(duplicate docs) — when it fits
+    # one worker's heap (8 bytes/id → the default 16M gate is 128 MB), ship
+    # it once via ray.put and anti-filter inside map_batches; no all-to-all
+    # shuffle of the corpus at all.  Past the gate, hash-join as before.
+    broadcast_max = int(os.environ.get("MLR_DEDUP_BROADCAST_MAX", 16_000_000))
+    if n_drops <= broadcast_max:
+        import ray
+
+        from .joins import broadcast_anti, gather_small
+
+        keys = gather_small(drops, [id_col])[id_col]
+        return broadcast_anti(ds, id_col, ray.put(keys))
+
     joined = ds.join(
         drops,
         join_type="left_outer",

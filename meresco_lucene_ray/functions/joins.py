@@ -89,6 +89,19 @@ def broadcast_semi(ds, key_col: str, keys_ref):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def broadcast_anti(ds, key_col: str, keys_ref):
+    """Anti-join filter: DROP rows whose ``key_col`` is in the broadcast
+    sorted key array — the keep-canonical dedup filter shape."""
+    import ray
+
+    def stage(t: pa.Table) -> pa.Table:
+        sorted_keys = ray.get(keys_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.flatnonzero(~_member_mask(keys, sorted_keys))))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def broadcast_attach(ds, key_col: str, small_ref, value_cols: list[str]):
     """Inner join against a broadcast small side: drop non-matching rows and
     append the small side's ``value_cols`` via searchsorted gather.  The

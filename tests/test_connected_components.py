@@ -128,3 +128,48 @@ def test_connected_components_empty_pairs(ray_session):
     )
     out = connected_components(rd.from_arrow(empty))
     assert out.count() == 0
+
+
+def test_driver_gate_and_distributed_path_agree(ray_session, monkeypatch):
+    """The small-edge driver gate (numpy label propagation) and the
+    distributed rounds produce identical (node, component) maps — both are
+    pinned against the union-find oracle on a random graph."""
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(200, 2)) if a != b]
+    want = _union_find_components(edges)
+
+    monkeypatch.setenv("MLR_CC_DRIVER_MAX", "1000000")
+    assert _run(edges) == want
+    monkeypatch.setenv("MLR_CC_DRIVER_MAX", "0")  # force the distributed rounds
+    assert _run(edges) == want
+
+
+def test_keep_canonical_broadcast_and_join_paths_agree(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.dedup import dedup_keep_canonical
+
+    comp = pa.table(
+        {
+            "node": pa.array([1, 2, 3, 7, 9], type=pa.int64()),
+            "component": pa.array([1, 1, 1, 7, 7], type=pa.int64()),
+        }
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(list(range(12)), type=pa.int64()),
+            "text": [f"t{i}" for i in range(12)],
+        }
+    )
+    want = sorted(set(range(12)) - {2, 3, 9})
+
+    def kept(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = dedup_keep_canonical(
+            rd.from_arrow(corpus), rd.from_arrow(comp), id_col="doc_id"
+        ).to_pandas()
+        return sorted(out["doc_id"].astype(int))
+
+    assert kept({"MLR_DEDUP_BROADCAST_MAX": "1000000"}) == want
+    assert kept({"MLR_DEDUP_BROADCAST_MAX": "0"}) == want

@@ -212,3 +212,39 @@ def test_ivf_topk(ray_session):
     assert overlap >= 8  # probing the query's cluster finds the true neighbours
     again = ivf_topk(ds, q, k=10, n_centroids=8, n_probe=2)
     assert got["vec_id"].to_pylist() == again["vec_id"].to_pylist()
+
+
+def test_neardup_driver_and_distributed_verify_agree(ray_session, monkeypatch):
+    """verify_neardup_pairs: the gated driver verify (broadcast id filter +
+    in-driver Jaccard) and the distributed two-hash-join path return the
+    same verified pair set."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        verify_neardup_pairs,
+    )
+
+    texts = []
+    for i in range(40):
+        base = f"the quick brown fox {i % 8} jumps over the lazy dog wordy tail {i % 8}"
+        texts.append(base if i % 2 == 0 else base + " extra")
+    t = pa.table(
+        {"doc_id": pa.array(list(range(40)), type=pa.int64()), "text": texts}
+    )
+
+    def run():
+        ds = rd.from_arrow(t)
+        buckets = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=16, bands=8, shingle_n=2)
+        out = verify_neardup_pairs(ds, buckets, "text", "doc_id", n=2, threshold=0.5).to_pandas()
+        return sorted(
+            (int(a), int(b), round(float(j), 9))
+            for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])
+        )
+
+    monkeypatch.setenv("MLR_NEARDUP_DRIVER_MAX", "1000000")
+    fast = run()
+    assert fast  # the corpus above must actually produce near-dup pairs
+    monkeypatch.setenv("MLR_NEARDUP_DRIVER_MAX", "0")
+    monkeypatch.setenv("MLR_NEARDUP_BROADCAST_MAX", "0")  # full-corpus sig path too
+    assert run() == fast
