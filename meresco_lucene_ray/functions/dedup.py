@@ -1028,10 +1028,18 @@ def dedup_keep_canonical(ds, components, id_col: str = "doc_id"):
         keys = gather_small(drops, [id_col])[id_col]
         return broadcast_anti(ds, id_col, ray.put(keys))
 
+    # partition count derives from the materialized drop side's row count
+    # (already known from the gate check; the corpus side is lazy and must
+    # not be measured): past the broadcast gate drops grow with the corpus,
+    # ~500k drop ids per partition
+    from .joins import derive_num_partitions
+
     joined = ds.join(
         drops,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=derive_num_partitions(
+            n_drops * 8, bytes_per_partition=4 << 20, lo=8
+        ),
         on=(id_col,),
     )
 

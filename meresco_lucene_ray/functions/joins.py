@@ -51,6 +51,24 @@ def derive_num_partitions(
     return max(lo, min(hi, (nbytes + bytes_per_partition - 1) // bytes_per_partition))
 
 
+def partitions_for(*datasets, rows_per_partition: int = 2_000_000, lo: int = 4, hi: int = 512) -> int:
+    """Partition count for a hash join over already-materialized datasets,
+    derived from the largest side's ROW COUNT — metadata on a materialized
+    dataset.  (``size_bytes()`` is NOT metadata on a from_arrow_refs
+    dataset — it re-executes to measure; block count is a bad proxy the
+    other way — a groupby emits many near-empty blocks and a 64-partition
+    join over a 10k-row side is pure task overhead.)  ~2M rows per
+    partition, clamped — scales the shuffle with the data without ever
+    collapsing a huge side into a handful of partitions."""
+    rows = 0
+    for d in datasets:
+        try:
+            rows = max(rows, int(d.count() or 0))
+        except Exception:
+            pass
+    return max(lo, min(hi, (rows + rows_per_partition - 1) // rows_per_partition))
+
+
 def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     """Collect a SMALL (already filtered/projected) Dataset's columns into
     numpy arrays, sorted by the first column — the broadcast payload.

@@ -223,7 +223,11 @@ def common_shingle_frac(ds, text_col: str = "text", id_col: str = "doc_id", n: i
         rows.groupby("h").aggregate(Count(alias_name="df")),
         pa.table({"h": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}),
     )
-    joined = rows.join(dfreq, join_type="inner", num_partitions=8, on=("h",))
+    from .joins import partitions_for
+
+    joined = rows.join(
+        dfreq, join_type="inner", num_partitions=partitions_for(rows, dfreq), on=("h",)
+    )
 
     def mark(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -359,7 +363,11 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int =
         rows.groupby("term").aggregate(Count(alias_name="df")),
         pa.table({"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}),
     )
-    joined = rows.join(dfreq, join_type="inner", num_partitions=8, on=("term",))
+    from .joins import partitions_for
+
+    joined = rows.join(
+        dfreq, join_type="inner", num_partitions=partitions_for(rows, dfreq), on=("term",)
+    )
 
     def score(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -430,7 +438,11 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
                 }
             )
         )
-    joined = rows.join(cf, join_type="inner", num_partitions=8, on=("term",))
+    from .joins import partitions_for
+
+    joined = rows.join(
+        cf, join_type="inner", num_partitions=partitions_for(rows, cf), on=("term",)
+    )
 
     def nll(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -618,11 +630,14 @@ def collocations_pmi(ds, text_col: str = "text", min_count: int = 25, top: int =
     # ZERO-COLUMN block, and the second join's aggregator then fails with
     # "No match ... FieldRef.Name(w2) on left side" (same Ray 2.49 issue
     # _snap_nonempty exists for; bites whenever partitions outnumber rows)
+    from .joins import partitions_for
+
+    np_join = partitions_for(supported, uni)
     j1 = _snap_nonempty(
         supported.join(
             uni.map_batches(as_u1, batch_format="pyarrow"),
             join_type="inner",
-            num_partitions=4,
+            num_partitions=np_join,
             on=("w1",),
         ),
         pa.table(
@@ -637,7 +652,7 @@ def collocations_pmi(ds, text_col: str = "text", min_count: int = 25, top: int =
     joined = j1.join(
         uni.map_batches(as_u2, batch_format="pyarrow"),
         join_type="inner",
-        num_partitions=4,
+        num_partitions=np_join,
         on=("w2",),
     )
 
