@@ -165,16 +165,32 @@ def semi_join_filter(ds, key_col: str, keybits: KeyBits):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
-def broadcast_lookup_join(ds, key_col: str, mapping: dict, out_col: str, default=None):
+def broadcast_lookup_join(ds, key_col: str, mapping, out_col: str, default=None):
     """Join-sort support (J6): broadcast a small ``key → value`` map once and
     attach the mapped column per batch (JoinSortCollector analog,
     /root/reference/src/org/meresco/lucene/search/JoinSortCollector.java:53-252 —
     there: resultDoc→key→otherDoc→sortValue chase; here: one vectorized
-    searchsorted against broadcast key-sorted arrays — no per-row Python)."""
+    searchsorted against broadcast key-sorted arrays — no per-row Python).
+
+    ``mapping`` is either a ``(keys, values)`` pair of parallel arrays
+    (numpy / pyarrow — preferred: no Python dict is ever built, ~100 B/key
+    cheaper on the driver) or a plain dict (convenience for small maps)."""
     import ray
 
-    sorted_keys = np.array(sorted(mapping), dtype=np.int64)
-    sorted_vals = np.array([mapping[k] for k in sorted_keys.tolist()])
+    if isinstance(mapping, dict):
+        sorted_keys = np.array(sorted(mapping), dtype=np.int64)
+        sorted_vals = np.array([mapping[k] for k in sorted_keys.tolist()])
+    else:
+        k, v = mapping
+        keys_np = np.asarray(
+            k.to_numpy(zero_copy_only=False) if hasattr(k, "to_numpy") else k,
+            dtype=np.int64,
+        )
+        vals_np = np.asarray(
+            v.to_numpy(zero_copy_only=False) if hasattr(v, "to_numpy") else v
+        )
+        order = np.argsort(keys_np, kind="stable")
+        sorted_keys, sorted_vals = keys_np[order], vals_np[order]
     ref = ray.put((sorted_keys, sorted_vals))
 
     class Attach:

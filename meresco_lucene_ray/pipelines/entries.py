@@ -636,7 +636,8 @@ def q_join_sort(sf_dir: str) -> pa.Table:
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
     )
-    mapping = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    # arrays straight from Arrow — no driver-side Python dict (~100 B/key)
+    mapping = (cust["c_custkey"].combine_chunks(), cust["c_name"].combine_chunks())
     from ..join import broadcast_lookup_join
 
     orders = read_parquet_clean(
