@@ -859,6 +859,16 @@ class IndexSearcher:
         # sort late, breaking the df-desc re-sort (meresco _lucene.py:132-142)
         acc: dict[str, int] = {}
         for part in ray.get([a.prefix_terms.remote(prefix, 100_000) for a in self.actors]):
+            if len(part) >= 100_000:
+                # pathological prefix: the safety valve truncated the range,
+                # so the df-desc re-sort below may be missing high-df terms
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "prefix_search(%r): per-actor term cap (100000) hit; "
+                    "df-desc ranking may be incomplete",
+                    prefix,
+                )
             for t, d in part.items():
                 acc[t] = acc.get(t, 0) + d
         return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
