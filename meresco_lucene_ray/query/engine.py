@@ -84,6 +84,29 @@ class _SegmentActorImpl:
         merged = pa.concat_tables(tables, promote_options="default")
         return merged, total
 
+    def search(self, q, k, sim, stats, sort_spec, cols, facet_specs):
+        """Fused top-k + facet counts in ONE pass over each segment
+        (MultiCollector-of-SuperCollectors analog — the reference collects
+        TopScoreDocSuperCollector and FacetSuperCollector in a single
+        IndexSearcher.search, Lucene.java:253-342): the query is evaluated
+        once per segment and both collectors read the same match mask —
+        one fan-out round trip instead of two, one eval instead of two."""
+        tables = []
+        facet_parts: list[dict[Any, int]] = [{} for _ in facet_specs]
+        for s in self.searchers:
+            mask, scores = s.eval(q, sim, stats)
+            mask = s._apply_live(mask)
+            tables.append(
+                s.top_k(q, k, sim, stats, sort_spec, cols, _precomputed=(mask, scores))
+            )
+            for i, (col, mode) in enumerate(facet_specs):
+                acc = facet_parts[i]
+                for v, c in s.facet_counts(q, sim, stats, col, mode, _mask=mask).items():
+                    acc[v] = acc.get(v, 0) + c
+        total = sum(int(t.schema.metadata[b"total"]) for t in tables)
+        merged = pa.concat_tables(tables, promote_options="default")
+        return merged, total, facet_parts
+
     def count(self, q, sim, stats) -> int:
         return sum(s.count(q, sim, stats) for s in self.searchers)
 
@@ -473,10 +496,29 @@ class IndexSearcher:
                 if c and c not in cols:
                     cols.append(c)
 
+        specs = [(f, "auto") if isinstance(f, str) else tuple(f) for f in facets]
+        facet_parts_by_actor: list[list[dict[Any, int]]] | None = None
         if dedup_field:
             page, total, total_with_dups = self._execute_dedup(
                 q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort
             )
+        elif specs:
+            # fused single-pass: one fan-out returns top-k AND facet counts,
+            # each segment evaluated once (MultiCollector analog — see
+            # _SegmentActorImpl.search)
+            k = max(stop, 1)
+            parts = ray.get(
+                [
+                    a.search.remote(q, k, self.sim, stats, sort, cols, specs)
+                    for a in self.actors
+                ]
+            )
+            merged = pa.concat_tables([t for t, _, _ in parts], promote_options="default")
+            total = sum(tot for _, tot, _ in parts)
+            hits = self._merge_hits(merged, sort)
+            total_with_dups = None
+            page = hits.slice(start, max(0, stop - start))
+            facet_parts_by_actor = [fp for _, _, fp in parts]
         else:
             k = max(stop, 1)
             parts = ray.get(
@@ -488,19 +530,24 @@ class IndexSearcher:
             total_with_dups = None
             page = hits.slice(start, max(0, stop - start))
         drilldown: dict[str, dict[Any, int]] = {}
-        if facets:
-            specs = [(f, "auto") if isinstance(f, str) else tuple(f) for f in facets]
-            facet_parts = ray.get(
-                [
-                    a.facet_counts.remote(q, self.sim, stats, colname, mode)
-                    for a in self.actors
-                    for colname, mode in specs
+        if specs:
+            if facet_parts_by_actor is None:
+                # dedup path still fans facets out separately
+                flat = ray.get(
+                    [
+                        a.facet_counts.remote(q, self.sim, stats, colname, mode)
+                        for a in self.actors
+                        for colname, mode in specs
+                    ]
+                )
+                facet_parts_by_actor = [
+                    flat[j * len(specs) : (j + 1) * len(specs)]
+                    for j in range(len(self.actors))
                 ]
-            )
             for i, (colname, _mode) in enumerate(specs):
                 agg: dict[Any, int] = {}
-                for j in range(len(self.actors)):
-                    for v, c in facet_parts[j * len(specs) + i].items():
+                for per_actor in facet_parts_by_actor:
+                    for v, c in per_actor[i].items():
                         agg[v] = agg.get(v, 0) + c
                 drilldown[colname] = dict(
                     sorted(agg.items(), key=lambda kv: (-kv[1], str(kv[0])))

@@ -679,17 +679,27 @@ class SegmentSearcher:
         stats: dict,
         sort_spec: list[tuple[str, bool, Any]] | None = None,
         cols: Sequence[str] = (),
+        _precomputed: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> pa.Table:
         """Per-segment top-k (TopScoreDocSuperCollector / TopFieldSuperCollector
-        analog). Ties broken by docid asc for determinism."""
-        wand_terms = self._wand_eligible(q, sim, stats, sort_spec)
-        if wand_terms is not None:
-            pruned = self._top_k_or_pruned(wand_terms, k, sim, stats, cols)
-            if pruned is not None:
-                return pruned
-            # bounds not discriminative on this segment/query → dense path
-        mask, scores = self.eval(q, sim, stats)
-        mask = self._apply_live(mask)
+        analog). Ties broken by docid asc for determinism.
+
+        ``_precomputed``: an already-live-filtered (mask, scores) pair from
+        one shared ``eval`` pass — the fused top-k+facets path
+        (MultiSuperCollector analog) evaluates the query ONCE per segment
+        and feeds both collectors; skips the WAND fast path (facet counting
+        needs the full match mask anyway)."""
+        if _precomputed is not None:
+            mask, scores = _precomputed
+        else:
+            wand_terms = self._wand_eligible(q, sim, stats, sort_spec)
+            if wand_terms is not None:
+                pruned = self._top_k_or_pruned(wand_terms, k, sim, stats, cols)
+                if pruned is not None:
+                    return pruned
+                # bounds not discriminative on this segment/query → dense path
+            mask, scores = self.eval(q, sim, stats)
+            mask = self._apply_live(mask)
         adj = stats.get("rank_adjust")
         if adj is not None:
             # AggregateScoreSuperCollector blend (J5): newScore =
@@ -796,16 +806,30 @@ class SegmentSearcher:
             )
         return cache[depth]
 
-    def facet_counts(self, q, sim: BM25, stats: dict, col: str, mode: str = "auto") -> dict[Any, int]:
+    def facet_counts(
+        self,
+        q,
+        sim: BM25,
+        stats: dict,
+        col: str,
+        mode: str = "auto",
+        _mask: np.ndarray | None = None,
+    ) -> dict[Any, int]:
         """Per-segment facet term counts (FacetSuperCollector analog:
         per-slice count maps merged by the engine).
 
         Scalar columns count values; list<string> columns count either each
         element (mode='multi') or every hierarchical '>'-joined path prefix
         with rollup (mode='hier' — MerescoTaxonomyFacetCounts.java:60-212).
-        mode='auto' treats lists as hierarchical paths."""
-        mask, _ = self.eval(q, sim, stats)
-        mask = self._apply_live(mask)
+        mode='auto' treats lists as hierarchical paths.
+
+        ``_mask``: an already-live-filtered match mask from a shared ``eval``
+        pass (the fused top-k+facets path)."""
+        if _mask is not None:
+            mask = _mask
+        else:
+            mask, _ = self.eval(q, sim, stats)
+            mask = self._apply_live(mask)
         vals = self.col(col)
         sample = next((v for v in vals if v is not None), None)
         if isinstance(sample, (list, np.ndarray)):

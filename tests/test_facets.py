@@ -66,3 +66,48 @@ def test_path_prefix_drilldown(facet_index):
     assert res2.ids() == ["id1"]
     res3 = facet_index.execute(PathPrefixQ("facet_path", ("nope",)), stop=10)
     assert res3.total == 0
+
+
+def test_fused_search_matches_separate_fanout(facet_index):
+    """The fused one-pass top-k+facets path (engine execute with facets)
+    must agree with the separate facet_counts fan-out and the facet-less
+    top-k on the same query."""
+    import ray
+
+    q = TermQ("value")
+    fused = facet_index.execute(
+        q, stop=10, facets=[("facet_path", "hier"), ("tags", "multi")]
+    )
+    plain = facet_index.execute(q, stop=10)
+    # hits identical to the unfused top-k
+    assert fused.total == plain.total
+    assert fused.hits.column("docid").to_pylist() == plain.hits.column("docid").to_pylist()
+    assert fused.hits.column("score").to_pylist() == plain.hits.column("score").to_pylist()
+    # facet counts identical to the separate per-actor facet_counts fan-out
+    stats = facet_index._stats(q)
+    for col, mode in (("facet_path", "hier"), ("tags", "multi")):
+        agg = {}
+        for part in ray.get(
+            [
+                a.facet_counts.remote(q, facet_index.sim, stats, col, mode)
+                for a in facet_index.actors
+            ]
+        ):
+            for v, c in part.items():
+                agg[v] = agg.get(v, 0) + c
+        assert fused.drilldown_data[col] == dict(
+            sorted(agg.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        )
+
+
+def test_fused_search_with_sort_and_paging(facet_index):
+    res = facet_index.execute(
+        MatchAllQ(),
+        start=1,
+        stop=3,
+        sort=[("__id__", False, None)],
+        facets=[("tags", "multi")],
+        stored_fields=("__id__",),
+    )
+    assert res.hits.column("__id__").to_pylist() == ["id2", "id3"]
+    assert res.drilldown_data["tags"] == {"a": 2, "b": 2, "c": 1}
