@@ -42,6 +42,50 @@ MAX_RETRY_K = 10000  # paging retry cap (Lucene.java:312-319)
 # only ever sees O(page × blocks) rows
 DEDUP_DRIVER_MAX_ROWS = int(os.environ.get("MLR_DEDUP_DRIVER_MAX", "500000"))
 
+def _sort_key_columns(
+    tbl: pa.Table, sort, docid_col: str = "docid", col_map: dict | None = None
+) -> tuple[pa.Table, list[tuple[str, str]]]:
+    """Build the (key table, sort_keys) pair for the global hit ordering
+    (TopDocs.merge analog): sort-field columns with the SAME missing-value
+    fills as the per-segment cut (SegmentSearcher._sortable) so the global
+    re-sort agrees with per-segment ordering on nullable columns, docid-asc
+    tiebreak last.  The caller takes from its ORIGINAL table, so returned
+    rows keep their original nulls.
+
+    ``col_map`` maps a sort-spec column name to the table's actual column
+    (the distributed dedup merge stores representatives' sort values under
+    ``sv_``-prefixed columns).  Module-level so Ray Data map tasks can use
+    the identical ordering off-driver."""
+    from .segment import MISSING_LAST
+
+    key_cols: dict[str, Any] = {"__tiebreak__": tbl[docid_col]}
+    sort_keys: list[tuple[str, str]] = []
+    for c, desc, missing in sort:
+        direction = "descending" if desc else "ascending"
+        src = (col_map or {}).get(c, c)
+        if src not in tbl.column_names:
+            continue
+        col = tbl[src]
+        if col.null_count:
+            typ = col.type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                fill = "" if missing is None else str(missing)
+                col = pc.fill_null(col, fill)
+            else:
+                # pandas promoted nullable numerics to float64 with the
+                # fill; mirror that exactly for ordering purposes
+                fill = (
+                    np.inf
+                    if missing is None or missing is MISSING_LAST
+                    else float(missing)
+                )
+                col = pc.fill_null(col.cast(pa.float64()), fill)
+        key_cols[c] = col
+        sort_keys.append((c, direction))
+    sort_keys.append(("__tiebreak__", "ascending"))
+    return pa.table(key_cols), sort_keys
+
+
 _num_rows_task = None
 
 
@@ -131,9 +175,12 @@ class _SegmentActorImpl:
                     out[v] = d
         return out
 
-    def dedup_groups(self, q, sim, stats, key_col, sort_col):
+    def dedup_groups(self, q, sim, stats, key_col, sort_col, attach_cols=()):
         return pa.concat_tables(
-            [s.dedup_groups(q, sim, stats, key_col, sort_col) for s in self.searchers],
+            [
+                s.dedup_groups(q, sim, stats, key_col, sort_col, attach_cols)
+                for s in self.searchers
+            ],
             promote_options="default",
         )
 
@@ -582,40 +629,8 @@ class IndexSearcher:
                 sort_keys=[("score", "descending"), ("docid", "ascending")],
             )
             return merged.take(idx)
-        # sort by TEMP key columns with the SAME missing-value fills as the
-        # per-segment cut (SegmentSearcher._sortable) so the global re-sort
-        # agrees with per-segment ordering on nullable columns — the rows
-        # returned keep their original nulls (take from the original table)
-        from .segment import MISSING_LAST
-
-        key_cols: dict[str, pa.ChunkedArray] = {"docid": merged["docid"]}
-        sort_keys = []
-        for c, desc, missing in sort:
-            direction = "descending" if desc else "ascending"
-            if c not in merged.column_names:
-                continue
-            col = merged[c]
-            if col.null_count:
-                typ = col.type
-                if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-                    fill = "" if missing is None else str(missing)
-                    col = pc.fill_null(col, fill)
-                else:
-                    # pandas promoted nullable numerics to float64 with the
-                    # fill; mirror that exactly for ordering purposes
-                    fill = (
-                        np.inf
-                        if missing is None or missing is MISSING_LAST
-                        else float(missing)
-                    )
-                    col = pc.fill_null(col.cast(pa.float64()), fill)
-            key_cols[c] = col
-            sort_keys.append((c, direction))
-        sort_keys.append(("docid", "ascending"))
-        idx = pc.sort_indices(
-            pa.table({k: v for k, v in key_cols.items()}), sort_keys=sort_keys
-        )
-        return merged.take(idx)
+        key_tbl, sort_keys = _sort_key_columns(merged, sort)
+        return merged.take(pc.sort_indices(key_tbl, sort_keys=sort_keys))
 
     def _execute_dedup(
         self, q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort=None
@@ -637,23 +652,30 @@ class IndexSearcher:
         Scale: past ``DEDUP_DRIVER_MAX_ROWS`` total partial rows (a
         high-cardinality dedup key at 100 TB) the per-segment partials are
         merged through Ray Data instead of a driver concat — the driver
-        payload stays O(page × blocks); see :meth:`_dedup_distributed`.
-        Field-sorted grouping stays on the driver path (ranking groups by
-        the representatives' sort fields inherently needs O(groups) fetched
-        sort values; the reference's single-JVM concurrent map has the same
-        O(groups) memory shape)."""
+        payload stays O(page × blocks); see :meth:`_dedup_distributed`
+        (score-ranked) and :meth:`_dedup_distributed_fieldsort`
+        (representative-field-ranked — the partials carry the local
+        representatives' sort values as ``sv_`` columns so no path ever
+        fetches O(groups) rows)."""
         import ray
 
+        field_sort = [s for s in (sort or []) if s[0] != "score"]
+        sort_cols = tuple(c for c, _, _ in field_sort)
         refs = [
-            a.dedup_groups.remote(q, self.sim, stats, dedup_field, dedup_sort_field)
+            a.dedup_groups.remote(
+                q, self.sim, stats, dedup_field, dedup_sort_field, sort_cols
+            )
             for a in self.actors
         ]
-        field_sort = [s for s in (sort or []) if s[0] != "score"]
         nrows = _get_num_rows_task()
         counts = ray.get([nrows.remote(r) for r in refs])
         self.last_dedup_path = "driver"
-        if not field_sort and sum(counts) > self.dedup_driver_max_rows:
+        if sum(counts) > self.dedup_driver_max_rows:
             self.last_dedup_path = "distributed"
+            if field_sort:
+                return self._dedup_distributed_fieldsort(
+                    refs, counts, start, stop, dedup_field, cols, field_sort
+                )
             return self._dedup_distributed(refs, counts, start, stop, dedup_field, cols)
         parts = ray.get(refs)
         df = pa.concat_tables(parts, promote_options="default").to_pandas()
@@ -662,39 +684,44 @@ class IndexSearcher:
         total_with_dups = int(df["cnt"].sum())
         g = self._merge_group_partials(df)
         if field_sort:
-            # rank groups by the REPRESENTATIVES' sort fields
-            sort_cols = [c for c, _, _ in field_sort]
-            vals = self.fetch(g["repr_docid"].to_numpy(), sort_cols)
-            gv = g.merge(
-                vals.to_pandas().rename(columns={"docid": "repr_docid"}),
-                on="repr_docid",
-                how="left",
-            )
-            merged = pa.Table.from_pandas(
-                gv.rename(columns={"repr_docid": "docid"}), preserve_index=False
-            )
-            ordered = self._merge_hits(merged, field_sort).to_pandas()
-            g = ordered.rename(columns={"docid": "repr_docid"}).drop(
-                columns=[c for c in sort_cols if c in ordered.columns]
-            )
+            # rank groups by the REPRESENTATIVES' sort fields — the winning
+            # partial row carried the representative's values (sv_ columns)
+            g = self._order_groups_by_fields(g, field_sort, sort_cols)
         else:
             g = g.sort_values(["max_score", "rank_docid"], ascending=[False, True])
         total = len(g)
         page = self._dedup_page_table(g.iloc[start:stop], dedup_field, cols)
         return page, total, total_with_dups
 
+    def _order_groups_by_fields(self, g, field_sort, sort_cols):
+        """Order merged group rows (one per key, pandas) by the
+        representatives' sort fields with `_merge_hits` fill semantics; the
+        sort values live in the rows' ``sv_<col>`` columns."""
+        merged = pa.Table.from_pandas(g, preserve_index=False)
+        key_tbl, sort_keys = _sort_key_columns(
+            merged,
+            field_sort,
+            docid_col="repr_docid",
+            col_map={c: f"sv_{c}" for c in sort_cols},
+        )
+        idx = pc.sort_indices(key_tbl, sort_keys=sort_keys)
+        return merged.take(idx).to_pandas()
+
     @staticmethod
     def _merge_group_partials(df):
         """Merge per-segment per-key partial rows into one row per key:
         group rank = (max score, min docid), representative = (max
-        dedup-sort value, min docid), count = sum."""
+        dedup-sort value, min docid), count = sum.  Any ``sv_`` columns
+        (the local representatives' sort-field values) ride along on the
+        winning representative row — the global representative's values."""
         rank = (
             df.sort_values(["key", "max_score", "rank_docid"], ascending=[True, False, True])
             .drop_duplicates("key", keep="first")[["key", "max_score", "rank_docid"]]
         )
+        rep_cols = ["key", "repr_docid"] + [c for c in df.columns if c.startswith("sv_")]
         rep = (
             df.sort_values(["key", "best_sort", "repr_docid"], ascending=[True, False, True])
-            .drop_duplicates("key", keep="first")[["key", "repr_docid"]]
+            .drop_duplicates("key", keep="first")[rep_cols]
         )
         cnt = df.groupby("key", sort=False)["cnt"].sum().reset_index()
         return rank.merge(rep, on="key").merge(cnt, on="key")
@@ -812,6 +839,144 @@ class IndexSearcher:
         g = self._merge_group_partials(small).sort_values(
             ["max_score", "rank_docid"], ascending=[False, True]
         )
+        return self._dedup_page_table(g, dedup_field, cols), total, total_with_dups
+
+    def _dedup_distributed_fieldsort(
+        self, refs, counts, start, stop, dedup_field, cols, field_sort
+    ):
+        """Distributed dedup-group merge when groups are ranked by the
+        REPRESENTATIVES' sort fields (DeDupFilterSuperCollector delegating
+        to a TopFieldSuperCollector) — the 100 TB path that replaces the
+        former O(groups) driver fetch:
+
+        1. Per-segment partials carry the LOCAL representative's sort values
+           (``sv_`` columns, attached at the source where the docs table is
+           already in memory), so the GLOBAL representative's values ride on
+           whichever partial row wins (max best_sort, tie min repr_docid) —
+           no per-group fetch anywhere.
+        2. ONE range sort by (key, best_sort desc, repr_docid asc): each
+           key's partial rows become contiguous, global-representative
+           FIRST.  Per block, first-per-key rows are therefore true global
+           representatives — except possibly the block's ROW 0, when the
+           key's run spans the preceding block boundary (at most ONE
+           spurious row per block, carrying another segment's sort values).
+        3. Per block: order the first-per-key rows by the query sort
+           (`_sort_key_columns` — identical fills to the driver merge) and
+           keep the top-(stop+1): a global top-``stop`` key has < stop
+           globally-preceding representatives plus at most 1 spurious row
+           above its own representative in any block, so the page is
+           covered.  Driver receives O(stop × blocks) rows.
+        4. Spurious rows are removed EXACTLY: per-block stats carry
+           (first_key, last_key, first row's repr_docid); in key order, a
+           block whose first_key equals the previous block's last_key has a
+           spurious row 0, identified by its unique repr_docid (a partial
+           row's repr docid determines its segment and key).  After the
+           filter every candidate is THE global representative of its key.
+        5. Exact distinct count from the same block stats (boundary-overlap
+           subtraction); page keys' raw partials re-collected via broadcast
+           ``is_in`` and merged with the same driver logic as the dense
+           path."""
+        import ray
+        import ray.data as rd
+
+        live = [r for r, c in zip(refs, counts) if c]
+        if not live:
+            return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
+        ds = rd.from_arrow_refs(live)
+        total_with_dups = int(ds.sum("cnt") or 0)
+        srt = ds.sort(
+            ["key", "best_sort", "repr_docid"], descending=[False, True, False]
+        ).materialize()
+        k = max(stop, 1) + 1  # +1: room for the one possible spurious row
+        sort_cols = tuple(c for c, _, _ in field_sort)
+        col_map = {c: f"sv_{c}" for c in sort_cols}
+
+        def block_stats(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "nuniq": pa.array([], pa.int64()),
+                        "first_key": t["key"],
+                        "last_key": t["key"],
+                        "first_uid": t["repr_docid"],
+                    }
+                )
+            keys = t["key"].to_numpy(zero_copy_only=False)
+            n = 1 + int(np.count_nonzero(keys[1:] != keys[:-1]))
+            return pa.table(
+                {
+                    "nuniq": pa.array([n], pa.int64()),
+                    "first_key": t["key"].slice(0, 1),
+                    "last_key": t["key"].slice(len(t) - 1, 1),
+                    "first_uid": t["repr_docid"].slice(0, 1),
+                }
+            )
+
+        def block_candidates(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            keys = t["key"].to_numpy(zero_copy_only=False)
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = keys[1:] != keys[:-1]
+            ft = t.take(pa.array(np.flatnonzero(first)))
+            key_tbl, sort_keys = _sort_key_columns(
+                ft, field_sort, docid_col="repr_docid", col_map=col_map
+            )
+            idx = pc.sort_indices(key_tbl, sort_keys=sort_keys)[:k]
+            return ft.take(idx)
+
+        stats_rows = srt.map_batches(
+            block_stats, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        stats_rows.sort(key=lambda r: (r["first_key"], r["last_key"]))
+        total = sum(r["nuniq"] for r in stats_rows) - sum(
+            1
+            for a, b in zip(stats_rows, stats_rows[1:])
+            if a["last_key"] == b["first_key"]
+        )
+        spurious_uids = {
+            b["first_uid"]
+            for a, b in zip(stats_rows, stats_rows[1:])
+            if a["last_key"] == b["first_key"]
+        }
+
+        cand_tables = [
+            t
+            for t in ray.get(
+                srt.map_batches(
+                    block_candidates, batch_format="pyarrow", batch_size=None
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if not cand_tables:
+            return (
+                pa.table({"docid": [], "__id__": [], "score": []}),
+                total,
+                total_with_dups,
+            )
+        cand = pa.concat_tables(cand_tables, promote_options="default")
+        if spurious_uids:
+            keep = ~np.isin(
+                cand["repr_docid"].to_numpy(zero_copy_only=False),
+                np.fromiter(spurious_uids, dtype=np.int64, count=len(spurious_uids)),
+            )
+            cand = cand.take(pa.array(np.flatnonzero(keep)))
+        key_tbl, sort_keys = _sort_key_columns(
+            cand, field_sort, docid_col="repr_docid", col_map=col_map
+        )
+        ordered = cand.take(pc.sort_indices(key_tbl, sort_keys=sort_keys))
+        page_keys = ordered["key"].slice(start, max(0, stop - start)).to_pylist()
+        if not page_keys:
+            return pa.table({"docid": [], "__id__": [], "score": []}), total, total_with_dups
+        key_set = pa.array(page_keys)
+
+        def filt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["key"], value_set=key_set))
+
+        small = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+        g = self._merge_group_partials(small)
+        g = self._order_groups_by_fields(g, field_sort, sort_cols)
         return self._dedup_page_table(g, dedup_field, cols), total, total_with_dups
 
     def count(self, q) -> int:

@@ -883,12 +883,24 @@ class SegmentSearcher:
         return {str(v): int(d) for v, d in zip(uniq.tolist(), first.tolist())}
 
     def dedup_groups(
-        self, q, sim: BM25, stats: dict, key_col: str, sort_col: str | None
+        self,
+        q,
+        sim: BM25,
+        stats: dict,
+        key_col: str,
+        sort_col: str | None,
+        attach_cols: Sequence[str] = (),
     ) -> pa.Table:
         """Per-key aggregates over ALL matching docs (DeDupFilterSuperCollector
         analog, /root/reference/src/org/meresco/lucene/search/DeDupFilterSuperCollector.java:43-258):
         for every dedup key seen: count, best-scoring doc (group rank) and the
-        representative = doc with max sort_col (ties → min docid)."""
+        representative = doc with max sort_col (ties → min docid).
+
+        ``attach_cols``: stored columns gathered for each key's LOCAL
+        representative, emitted as ``sv_<col>`` — field-sorted grouping ranks
+        groups by the representatives' sort fields, and attaching the values
+        at the source keeps the merge free of a per-group fetch (the global
+        representative's values ride on whichever partial row wins)."""
         mask, scores = self.eval(q, sim, stats)
         mask = self._apply_live(mask)
         if stats.get("f32", True):
@@ -908,16 +920,19 @@ class SegmentSearcher:
         did = self.docid[idx]
         rank_doc = _argmax_per_group(inv, g, sc, did)
         repr_doc = _argmax_per_group(inv, g, srt, did)
-        return pa.table(
-            {
-                "key": pa.array(uniq.tolist()),
-                "cnt": pa.array(cnt.astype(np.int64)),
-                "max_score": pa.array(max_sc),
-                "rank_docid": pa.array(rank_doc),
-                "best_sort": pa.array(best_srt),
-                "repr_docid": pa.array(repr_doc),
-            }
-        )
+        out: dict[str, Any] = {
+            "key": pa.array(uniq.tolist()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "max_score": pa.array(max_sc),
+            "rank_docid": pa.array(rank_doc),
+            "best_sort": pa.array(best_srt),
+            "repr_docid": pa.array(repr_doc),
+        }
+        if attach_cols:
+            local = pa.array((repr_doc - self.base).astype(np.int64))
+            for c in attach_cols:
+                out[f"sv_{c}"] = self.docs[c].take(local).combine_chunks()
+        return pa.table(out)
 
     def collect_keys(self, q, sim: BM25, stats: dict, key_col: str, size: int) -> np.ndarray:
         """KeyCollector analog: bitset over key values of matching docs

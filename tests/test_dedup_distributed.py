@@ -24,10 +24,17 @@ def highcard_index(ray_session, tmp_path_factory):
         "text": ["common " + ("hit " * (1 + (i * 13) % 7)) for i in range(n)],
         "grp": pa.array([f"k{i % 60:03d}" for i in range(n)]),
         "prio": pa.array([(i * 11) % 37 for i in range(n)], type=pa.int64()),
+        "name": pa.array(
+            [None if i % 6 == 0 else f"n{(i * 5) % 41:02d}" for i in range(n)],
+            type=pa.string(),
+        ),
     }
     d = str(tmp_path_factory.mktemp("dd_dist") / "idx")
     cfg = IndexConfig(
-        text_col="text", id_col="__id__", stored_cols=("grp", "prio"), num_shards=5
+        text_col="text",
+        id_col="__id__",
+        stored_cols=("grp", "prio", "name"),
+        num_shards=5,
     )
     build_index(rd.from_arrow(pa.table(rows)), d, cfg)
     return d
@@ -67,13 +74,52 @@ def test_distributed_empty_page_past_total(highcard_index):
     assert res.total == 60 and len(res.hits) == 0
 
 
-def test_field_sorted_dedup_stays_on_driver_path(highcard_index):
-    # ranking groups by representative sort fields needs O(groups) fetched
-    # values — documented to stay on the dense path regardless of the gate
-    s = IndexSearcher(highcard_index, num_actors=2, num_cpus=0.25)
-    s.dedup_driver_max_rows = 0
-    res = s.execute(
-        TermQ("common"), stop=5, dedup_field="grp", sort=[("prio", True, None)]
+@pytest.mark.parametrize(
+    "start,stop,desc", [(0, 10, True), (5, 15, True), (0, 10, False), (0, 100, True)]
+)
+def test_distributed_fieldsort_matches_driver_path(highcard_index, start, stop, desc):
+    """Field-sorted grouping (groups ranked by the REPRESENTATIVES' sort
+    fields) routes through the distributed merge past the gate and matches
+    the driver path row-for-row — including representative selection (max
+    dedup_sort_field) and the repr-docid tiebreak."""
+    s = IndexSearcher(highcard_index, num_actors=3, num_cpus=0.25)
+    q = TermQ("hit")
+    kw = dict(
+        start=start,
+        stop=stop,
+        dedup_field="grp",
+        dedup_sort_field="prio",
+        sort=[("prio", desc, None)],
+        stored_fields=("prio",),
     )
+    ref = s.execute(q, **kw)
     assert s.last_dedup_path == "driver"
-    assert res.total == 60
+    s.dedup_driver_max_rows = 0
+    got = s.execute(q, **kw)
+    assert s.last_dedup_path == "distributed"
+    assert got.total == ref.total == 60
+    assert got.total_with_duplicates == ref.total_with_duplicates == 120
+    assert _page(got) == _page(ref)
+    assert got.hits["prio"].to_pylist() == ref.hits["prio"].to_pylist()
+
+
+def test_distributed_fieldsort_nullable_sort_col(highcard_index):
+    """Nullable sort columns use the same missing-value fills off-driver as
+    the driver merge ('' for ascending strings) — path equivalence holds
+    when some representatives have null sort values."""
+    s = IndexSearcher(highcard_index, num_actors=3, num_cpus=0.25)
+    q = TermQ("common")
+    kw = dict(
+        stop=12,
+        dedup_field="grp",
+        sort=[("name", False, None)],
+        stored_fields=("name",),
+    )
+    ref = s.execute(q, **kw)
+    assert s.last_dedup_path == "driver"
+    s.dedup_driver_max_rows = 0
+    got = s.execute(q, **kw)
+    assert s.last_dedup_path == "distributed"
+    assert got.total == ref.total
+    assert _page(got) == _page(ref)
+    assert got.hits["name"].to_pylist() == ref.hits["name"].to_pylist()
