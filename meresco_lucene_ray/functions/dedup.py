@@ -1021,12 +1021,10 @@ def dedup_keep_canonical(ds, components, id_col: str = "doc_id"):
     # shuffle of the corpus at all.  Past the gate, hash-join as before.
     broadcast_max = int(os.environ.get("MLR_DEDUP_BROADCAST_MAX", 16_000_000))
     if n_drops <= broadcast_max:
-        import ray
+        from .joins import broadcast_anti, gather_small_ref
 
-        from .joins import broadcast_anti, gather_small
-
-        keys = gather_small(drops, [id_col])[id_col]
-        return broadcast_anti(ds, id_col, ray.put(keys))
+        # gather + sort run in a task; only the ObjectRef touches the driver
+        return broadcast_anti(ds, id_col, gather_small_ref(drops, [id_col]))
 
     # partition count derives from the materialized drop side's row count
     # (already known from the gate check; the corpus side is lazy and must

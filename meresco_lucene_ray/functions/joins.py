@@ -86,6 +86,39 @@ def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     return {c: v[order] for c, v in out.items()}
 
 
+def gather_small_ref(ds, columns: list[str]):
+    """Like :func:`gather_small`, but the gather + sort runs INSIDE a Ray
+    task over the dataset's block refs and the result stays in the object
+    store: returns an ObjectRef to the sorted-column dict, passable straight
+    to :func:`broadcast_semi` / :func:`broadcast_anti` /
+    :func:`broadcast_attach`.  The broadcast payload never streams through
+    the driver heap — at the 20M-row broadcast gate that is hundreds of MB
+    the driver would otherwise copy once per query."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ray.put({c: np.array([], dtype=np.int64) for c in columns})
+
+    @ray.remote(num_cpus=1)
+    def _gather(cols, *tables):
+        t = pa.concat_tables(
+            [tb.select(cols) for tb in tables], promote_options="default"
+        )
+        out = {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
+        order = np.argsort(out[cols[0]], kind="stable")
+        return {c: v[order] for c, v in out.items()}
+
+    return _gather.remote(list(columns), *refs)
+
+
+def _broadcast_keys(obj, key_col: str) -> np.ndarray:
+    """The broadcast side of semi/anti joins: either a bare sorted key array
+    (legacy ``ray.put(gather_small(...)[key])``) or the sorted-column dict
+    from :func:`gather_small_ref`."""
+    return obj[key_col] if isinstance(obj, dict) else obj
+
+
 def _member_mask(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
     pos = np.searchsorted(sorted_keys, keys)
     pos_c = np.minimum(pos, len(sorted_keys) - 1) if len(sorted_keys) else pos
@@ -100,7 +133,7 @@ def broadcast_semi(ds, key_col: str, keys_ref):
     import ray
 
     def stage(t: pa.Table) -> pa.Table:
-        sorted_keys = ray.get(keys_ref)
+        sorted_keys = _broadcast_keys(ray.get(keys_ref), key_col)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         return t.take(pa.array(np.flatnonzero(_member_mask(keys, sorted_keys))))
 
@@ -113,7 +146,7 @@ def broadcast_anti(ds, key_col: str, keys_ref):
     import ray
 
     def stage(t: pa.Table) -> pa.Table:
-        sorted_keys = ray.get(keys_ref)
+        sorted_keys = _broadcast_keys(ray.get(keys_ref), key_col)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         return t.take(pa.array(np.flatnonzero(~_member_mask(keys, sorted_keys))))
 

@@ -478,6 +478,38 @@ def q_dedup_source(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_source_sorted(sf_dir: str) -> pa.Table:
+    """Field-sorted dedup/grouping (Q11 delegating to Q5 — DeDupFilterSuperCollector
+    wrapping a TopFieldSuperCollector, DeDupFilterSuperCollector.java:43-258):
+    group 'data' matches by source, representative = max(nc_did), groups
+    ranked by the REPRESENTATIVES' (n_chars desc, nc_did asc) — deterministic
+    because nc_did is unique — page = top 10 of 20 groups.  Exercises the
+    sv_-column attach + `_order_groups_by_fields` merge path end-to-end; the
+    rank column pins the exact page ORDER through the order-insensitive
+    driver hash."""
+    res = get_searcher(sf_dir).execute(
+        TermQ("data"),
+        stop=10,
+        dedup_field="source",
+        dedup_sort_field="nc_did",
+        sort=[("n_chars", True, None), ("nc_did", False, None)],
+        stored_fields=("doc_id", "n_chars"),
+    )
+    h = res.hits
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(h) + 1, dtype=np.int64)),
+            "source": h["source"],
+            "duplicate_count": pa.array(
+                h["duplicateCount"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ),
+            "doc_id": pa.array(h["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "n_chars": pa.array(h["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "score": pa.array(_round4(h["score"].to_numpy(zero_copy_only=False))),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # key joins over orders/customer (J1-J8 analogs on the TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -973,7 +1005,7 @@ def q_star_revenue(sf_dir: str) -> pa.Table:
         broadcast_attach,
         broadcast_semi,
         derive_num_partitions,
-        gather_small,
+        gather_small_ref,
         input_bytes,
     )
 
@@ -1017,14 +1049,14 @@ def q_star_revenue(sf_dir: str) -> pa.Table:
 
     cust_m = cust.materialize()
     if cust_m.count() <= bcast_max:
-        ckeys = gather_small(cust_m, ["c_custkey"])["c_custkey"]
+        # gather + sort run in a task; only the ObjectRef touches the driver
         orders = broadcast_semi(
             orders.map_batches(
                 lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_orderdate"]),
                 batch_format="pyarrow",
             ),
             "c_custkey",
-            ray.put(ckeys),
+            gather_small_ref(cust_m, ["c_custkey"]),
         )
         co_src = orders.map_batches(
             lambda t: t.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow"
@@ -1060,8 +1092,12 @@ def q_star_revenue(sf_dir: str) -> pa.Table:
         lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]), batch_format="pyarrow"
     ).materialize()
     if co_m.count() <= bcast_max:
-        small = gather_small(co_m, ["l_orderkey", "o_orderdate"])
-        joined = broadcast_attach(line, "l_orderkey", ray.put(small), ["o_orderdate"])
+        joined = broadcast_attach(
+            line,
+            "l_orderkey",
+            gather_small_ref(co_m, ["l_orderkey", "o_orderdate"]),
+            ["o_orderdate"],
+        )
     else:
         nparts = derive_num_partitions(input_bytes(os.path.join(sf_dir, "lineitem.parquet")))
         joined = line.join(co_m, join_type="inner", num_partitions=nparts, on=("l_orderkey",))
@@ -2734,6 +2770,31 @@ rep AS (
 SELECT g.source, g.duplicate_count, rep.doc_id, {_round4_sql("g.gscore")} AS score
 FROM g JOIN rep USING (source)
 """,
+    "dedup_source_sorted": f"""{SQL_PROLOGUE},
+m AS (
+  SELECT t.doc_id, t.source, t.n_chars, t.n_chars*100000 + t.doc_id AS nc_did,
+         (SELECT ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) FROM stats s,
+            (SELECT count(*)::DOUBLE AS df FROM tok WHERE list_contains(toks, 'data')) d)
+         * (len(list_filter(t.toks, x -> x = 'data'))::DOUBLE
+            / (len(list_filter(t.toks, x -> x = 'data'))::DOUBLE
+               + 0.9*(1 - 0.4 + 0.4*len(t.toks)/(SELECT avgdl FROM stats)))) AS score
+  FROM tok t WHERE list_contains(t.toks, 'data')
+),
+g AS (SELECT source, count(*)::BIGINT AS duplicate_count, max(score) AS gscore FROM m GROUP BY source),
+rep AS (
+  SELECT source, doc_id, n_chars, nc_did FROM (
+    SELECT source, doc_id, n_chars, nc_did,
+           row_number() OVER (PARTITION BY source ORDER BY nc_did DESC) AS rn
+    FROM m
+  ) WHERE rn = 1
+)
+SELECT row_number() OVER (ORDER BY rep.n_chars DESC, rep.nc_did ASC)::BIGINT AS rank,
+       g.source, g.duplicate_count, rep.doc_id, rep.n_chars::BIGINT AS n_chars,
+       {_round4_sql("g.gscore")} AS score
+FROM g JOIN rep USING (source)
+ORDER BY rep.n_chars DESC, rep.nc_did ASC
+LIMIT 10
+""",
     "wildcard_count": f"""{SQL_PROLOGUE}
 SELECT count(*)::BIGINT AS total FROM tok
 WHERE len(list_filter(toks, x -> regexp_full_match(x, 's.an'))) > 0
@@ -2873,6 +2934,7 @@ QUERIES: dict[str, Callable[[str], pa.Table]] = {
     "spell_suggest": q_spell_suggest,
     "mlt_doc0": q_mlt_doc0,
     "dedup_source": q_dedup_source,
+    "dedup_source_sorted": q_dedup_source_sorted,
     "wildcard_count": q_wildcard_count,
     "bm25_boost": q_bm25_boost,
     "bm25_paging": q_bm25_paging,
