@@ -423,6 +423,10 @@ class IndexSearcher:
         # per-instance so tests/operators can tune the dedup merge gate
         self.dedup_driver_max_rows = DEDUP_DRIVER_MAX_ROWS
         self.last_dedup_path: str | None = None
+        # diagnostic: partial/candidate rows the last dedup merge pulled to
+        # the driver — the distributed paths stay O(page × blocks) no matter
+        # the group count (tests pin this)
+        self.last_dedup_driver_rows: int | None = None
         self._open(IndexManifest.load(index_dir))
 
     def _open(self, manifest) -> None:
@@ -679,6 +683,7 @@ class IndexSearcher:
             return self._dedup_distributed(refs, counts, start, stop, dedup_field, cols)
         parts = ray.get(refs)
         df = pa.concat_tables(parts, promote_options="default").to_pandas()
+        self.last_dedup_driver_rows = len(df)
         if df.empty:
             return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
         total_with_dups = int(df["cnt"].sum())
@@ -821,12 +826,13 @@ class IndexSearcher:
             if a["last_key"] == b["first_key"]
         )
 
-        cand = (
-            srt.map_batches(block_candidates, batch_format="pyarrow", batch_size=None)
-            .to_pandas()
-            .sort_values(["max_score", "rank_docid"], ascending=[False, True])
-            .drop_duplicates("key", keep="first")
-        )
+        pulled = srt.map_batches(
+            block_candidates, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        self.last_dedup_driver_rows = len(pulled) + len(stats_rows)
+        cand = pulled.sort_values(
+            ["max_score", "rank_docid"], ascending=[False, True]
+        ).drop_duplicates("key", keep="first")
         page_keys = cand.iloc[start:stop]["key"].tolist()
         if not page_keys:
             return pa.table({"docid": [], "__id__": [], "score": []}), total, total_with_dups
@@ -956,6 +962,7 @@ class IndexSearcher:
                 total_with_dups,
             )
         cand = pa.concat_tables(cand_tables, promote_options="default")
+        self.last_dedup_driver_rows = cand.num_rows + len(stats_rows)
         if spurious_uids:
             keep = ~np.isin(
                 cand["repr_docid"].to_numpy(zero_copy_only=False),

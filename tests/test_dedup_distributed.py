@@ -123,3 +123,50 @@ def test_distributed_fieldsort_nullable_sort_col(highcard_index):
     assert got.total == ref.total
     assert _page(got) == _page(ref)
     assert got.hits["name"].to_pylist() == ref.hits["name"].to_pylist()
+
+
+def test_distributed_driver_payload_o_page(ray_session, tmp_path_factory):
+    """The distributed merges pull O(page × blocks) rows to the driver, NOT
+    O(groups) — the 100 TB property (a high-cardinality dedup key must not
+    become a driver OOM).  1500 groups, page of 10: both distributed paths
+    stay two orders of magnitude under the group count, while the dense
+    driver path pulls every group's partials."""
+    import ray.data as rd
+
+    n = 3000
+    rows = {
+        "__id__": [f"d{i:05d}" for i in range(n)],
+        "text": ["hit " * (1 + (i * 13) % 5) for i in range(n)],
+        "grp": pa.array([f"k{i % 1500:04d}" for i in range(n)]),
+        "prio": pa.array([(i * 11) % 97 for i in range(n)], type=pa.int64()),
+    }
+    d = str(tmp_path_factory.mktemp("dd_payload") / "idx")
+    cfg = IndexConfig(
+        text_col="text", id_col="__id__", stored_cols=("grp", "prio"), num_shards=4
+    )
+    build_index(rd.from_arrow(pa.table(rows)), d, cfg)
+    s = IndexSearcher(d, num_actors=3, num_cpus=0.25)
+    s.dedup_driver_max_rows = 0
+
+    res = s.execute(TermQ("hit"), stop=10, dedup_field="grp", dedup_sort_field="prio")
+    assert s.last_dedup_path == "distributed"
+    assert res.total == 1500
+    assert s.last_dedup_driver_rows < 200, s.last_dedup_driver_rows
+
+    res = s.execute(
+        TermQ("hit"),
+        stop=10,
+        dedup_field="grp",
+        dedup_sort_field="prio",
+        sort=[("prio", True, None)],
+        stored_fields=("prio",),
+    )
+    assert s.last_dedup_path == "distributed"
+    assert res.total == 1500
+    assert s.last_dedup_driver_rows < 200, s.last_dedup_driver_rows
+
+    # dense driver path, by contrast, pulls every group's partial rows
+    s.dedup_driver_max_rows = 500000
+    s.execute(TermQ("hit"), stop=10, dedup_field="grp")
+    assert s.last_dedup_path == "driver"
+    assert s.last_dedup_driver_rows >= 1500
