@@ -573,6 +573,8 @@ def verify_neardup_pairs(
             return rd.from_arrow(empty_out)
         sig_tbl = pa.concat_tables(sig_parts, promote_options="default")
         sid = sig_tbl["__sid__"].to_numpy(zero_copy_only=False)
+        if sid.size == 0:  # columns but no rows: nothing can verify
+            return rd.from_arrow(empty_out)
         order = np.argsort(sid, kind="stable")
         sid_s = sid[order]
         blobs = sig_tbl["shingle_hashes"].combine_chunks().take(pa.array(order))

@@ -69,6 +69,18 @@ def partitions_for(*datasets, rows_per_partition: int = 2_000_000, lo: int = 4, 
     return max(lo, min(hi, (rows + rows_per_partition - 1) // rows_per_partition))
 
 
+def _empty_payload(ds, columns: list[str]) -> dict[str, np.ndarray]:
+    """Typed empty broadcast payload: column dtypes come from the dataset
+    schema (hard-coding int64 would diverge from the hash-join fallback and
+    the SQL mirror on e.g. timestamp columns when the small side is empty)."""
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    return {
+        c: pa.array([], type=types.get(c, pa.int64())).to_numpy(zero_copy_only=False)
+        for c in columns
+    }
+
+
 def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     """Collect a SMALL (already filtered/projected) Dataset's columns into
     numpy arrays, sorted by the first column — the broadcast payload.
@@ -78,10 +90,9 @@ def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
         for c in columns:
             parts[c].append(b[c].to_numpy(zero_copy_only=False))
-    out = {
-        c: (np.concatenate(v) if v else np.array([], dtype=np.int64))
-        for c, v in parts.items()
-    }
+    if not any(parts.values()):
+        return _empty_payload(ds, columns)
+    out = {c: np.concatenate(v) for c, v in parts.items()}
     order = np.argsort(out[columns[0]], kind="stable")
     return {c: v[order] for c, v in out.items()}
 
@@ -98,7 +109,7 @@ def gather_small_ref(ds, columns: list[str]):
 
     refs = ds.to_arrow_refs()
     if not refs:
-        return ray.put({c: np.array([], dtype=np.int64) for c in columns})
+        return ray.put(_empty_payload(ds, columns))
 
     @ray.remote(num_cpus=1)
     def _gather(cols, *tables):

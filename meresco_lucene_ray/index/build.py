@@ -404,13 +404,20 @@ class TokenizeStage:
         """One field's (doc, term) runs: tokenize, sort by (doc, term), and
         collapse to per-posting runs.  ``prefix`` ("" for the default field)
         is applied in DICTIONARY space before the run gather, so prefixed
-        term strings are built once per distinct term, not per posting."""
+        term strings are built once per distinct term, not per posting.
+        Runs stay as (code, dictionary) pairs — the caller concatenates the
+        per-field dictionaries with code offsets, preserving the
+        dictionary-encoded fast path downstream (emit_dictionary)."""
         import pyarrow.compute as pc
 
         inv, doc_idx, pos_in_doc, dictionary, dl = self._flat_tokens(col, field_name)
+        if dictionary.type != pa.string():
+            dictionary = dictionary.cast(pa.string())
+        if isinstance(dictionary, pa.ChunkedArray):
+            dictionary = dictionary.combine_chunks()
         if prefix and len(dictionary):
             dictionary = pc.binary_join_element_wise(
-                pa.scalar(prefix), dictionary.cast(pa.string()), ""
+                pa.scalar(prefix), dictionary, ""
             )
         if inv.size:
             n_dict = int(inv.max()) + 1
@@ -421,24 +428,19 @@ class TokenizeStage:
             run_ids = np.flatnonzero(run_start)
             run_bounds = np.concatenate((run_ids, [di.size]))
             run_tf = np.diff(run_bounds).astype(np.int32)
-            runs_per_doc = np.bincount(di[run_ids], minlength=ndocs)
-            term_values = pc.take(dictionary, pa.array(ti[run_ids]))
-            if term_values.type != pa.string():
-                term_values = term_values.cast(pa.string())
+            run_code = ti[run_ids].astype(np.int64)
             run_doc = di[run_ids].astype(np.int64)
             pos_start = run_ids.astype(np.int64)
         else:
             run_tf = np.empty(0, dtype=np.int32)
-            runs_per_doc = np.zeros(ndocs, dtype=np.int64)
-            term_values = pa.array([], type=pa.string())
+            run_code = np.empty(0, dtype=np.int64)
             run_doc = np.empty(0, dtype=np.int64)
             pos_start = np.empty(0, dtype=np.int64)
             pi = np.empty(0, dtype=np.int64)
         return {
             "run_doc": run_doc,
-            "term_values": term_values
-            if isinstance(term_values, pa.Array)
-            else term_values.combine_chunks(),
+            "run_code": run_code,
+            "dictionary": dictionary,
             "run_tf": run_tf,
             "pos_flat": pi.astype(np.int32),
             "pos_start": pos_start,
@@ -466,14 +468,14 @@ class TokenizeStage:
             [p["pos_start"] + b for p, b in zip(parts, pos_base)]
         )
         pos_flat_cat = np.concatenate([p["pos_flat"] for p in parts])
-        terms_cat = pa.concat_arrays(
-            [pa.array([], type=pa.string())]
-            + [
-                p["term_values"].combine_chunks()
-                if isinstance(p["term_values"], pa.ChunkedArray)
-                else p["term_values"]
-                for p in parts
-            ]
+        # ONE combined dictionary: per-field dictionaries are internally
+        # unique and the field prefixes make them disjoint across fields, so
+        # concatenation stays a valid unique dictionary; per-field codes
+        # shift by the preceding dictionaries' sizes
+        dict_cat = pa.concat_arrays([p["dictionary"] for p in parts])
+        code_base = np.cumsum([0] + [len(p["dictionary"]) for p in parts[:-1]])
+        run_code_cat = np.concatenate(
+            [p["run_code"] + b for p, b in zip(parts, code_base)]
         )
         # stable sort by doc: concatenation is field-major, so within a doc
         # the default field's runs come first, then each extra field's —
@@ -481,7 +483,15 @@ class TokenizeStage:
         order = np.argsort(run_doc_cat, kind="stable")
         runs_per_doc = np.bincount(run_doc_cat, minlength=ndocs)
         outer_off = np.concatenate(([0], np.cumsum(runs_per_doc))).astype(np.int32)
-        term_values = terms_cat.take(pa.array(order))
+        codes_ordered = run_code_cat[order]
+        if self.emit_dictionary:
+            term_values = pa.DictionaryArray.from_arrays(
+                pa.array(codes_ordered.astype(np.int32), type=pa.int32()), dict_cat
+            )
+        else:
+            term_values = pa.compute.take(dict_cat, pa.array(codes_ordered))
+            if isinstance(term_values, pa.ChunkedArray):
+                term_values = term_values.combine_chunks()
         run_tf = run_tf_cat[order]
         terms_col = pa.ListArray.from_arrays(pa.array(outer_off), term_values)
         tfs_col = pa.ListArray.from_arrays(pa.array(outer_off), pa.array(run_tf))

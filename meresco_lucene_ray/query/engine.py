@@ -86,6 +86,15 @@ def _sort_key_columns(
     return pa.table(key_cols), sort_keys
 
 
+def _first_per_key(t: pa.Table) -> pa.Table:
+    """First row of each key run in a block of key-sorted partial rows —
+    the per-block candidate cut both distributed dedup merges share."""
+    keys = t["key"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = keys[1:] != keys[:-1]
+    return t.take(pa.array(np.flatnonzero(first)))
+
+
 _num_rows_task = None
 
 
@@ -208,11 +217,13 @@ class _SegmentActorImpl:
 
     def prefix_terms(self, prefix, limit):
         acc: dict[str, int] = {}
+        truncated = False
         for s in self.searchers:
-            terms, dfs = s.prefix_terms(prefix, limit)
+            terms, dfs, trunc = s.prefix_terms(prefix, limit)
+            truncated |= trunc
             for t, d in zip(terms, dfs.tolist()):
                 acc[t] = acc.get(t, 0) + d
-        return acc
+        return acc, truncated
 
     def all_terms_stats(self) -> dict[str, int]:
         from .ast import FIELD_SEP
@@ -773,8 +784,6 @@ class IndexSearcher:
         for the reference-shaped all-groups driver merge, which is a
         driver OOM at high key cardinality (DeDupFilterSuperCollector's
         concurrent map has the same O(groups) footprint in one JVM)."""
-        import pyarrow.compute as pc
-        import ray
         import ray.data as rd
 
         live = [r for r, c in zip(refs, counts) if c]
@@ -787,28 +796,10 @@ class IndexSearcher:
         ).materialize()
         k = max(stop, 1)
 
-        def block_stats(t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return pa.table(
-                    {"nuniq": pa.array([], pa.int64()), "first_key": t["key"], "last_key": t["key"]}
-                )
-            keys = t["key"].to_numpy(zero_copy_only=False)
-            n = 1 + int(np.count_nonzero(keys[1:] != keys[:-1]))
-            return pa.table(
-                {
-                    "nuniq": pa.array([n], pa.int64()),
-                    "first_key": t["key"].slice(0, 1),
-                    "last_key": t["key"].slice(len(t) - 1, 1),
-                }
-            )
-
         def block_candidates(t: pa.Table) -> pa.Table:
             if len(t) == 0:
                 return t.select(["key", "max_score", "rank_docid"])
-            keys = t["key"].to_numpy(zero_copy_only=False)
-            first = np.ones(len(keys), dtype=bool)
-            first[1:] = keys[1:] != keys[:-1]
-            ft = t.take(pa.array(np.flatnonzero(first)))
+            ft = _first_per_key(t)
             sc = ft["max_score"].to_numpy(zero_copy_only=False)
             did = ft["rank_docid"].to_numpy(zero_copy_only=False)
             order = np.lexsort((did, -sc))[:k]
@@ -816,16 +807,7 @@ class IndexSearcher:
                 ["key", "max_score", "rank_docid"]
             )
 
-        stats_rows = srt.map_batches(
-            block_stats, batch_format="pyarrow", batch_size=None
-        ).take_all()
-        stats_rows.sort(key=lambda r: (r["first_key"], r["last_key"]))
-        total = sum(r["nuniq"] for r in stats_rows) - sum(
-            1
-            for a, b in zip(stats_rows, stats_rows[1:])
-            if a["last_key"] == b["first_key"]
-        )
-
+        stats_rows, total, _spurious = self._dedup_block_totals(srt)
         pulled = srt.map_batches(
             block_candidates, batch_format="pyarrow", batch_size=None
         ).to_pandas()
@@ -834,17 +816,81 @@ class IndexSearcher:
             ["max_score", "rank_docid"], ascending=[False, True]
         ).drop_duplicates("key", keep="first")
         page_keys = cand.iloc[start:stop]["key"].tolist()
+        return self._dedup_collect_page(
+            ds,
+            page_keys,
+            dedup_field,
+            cols,
+            lambda g: g.sort_values(["max_score", "rank_docid"], ascending=[False, True]),
+            total,
+            total_with_dups,
+        )
+
+    @staticmethod
+    def _dedup_block_totals(srt):
+        """Per-block stats over the key-range-sorted partials → (stats rows
+        in key order, exact distinct-key total, spurious first-row uids).
+
+        Total = sum of per-block distinct counts minus adjacent-block
+        boundary overlaps (a key spanning b blocks is counted b times;
+        overlaps subtract b−1).  A block whose first_key equals the previous
+        block's last_key starts MID-RUN: its row 0 is not a run start — its
+        unique repr docid identifies the spurious candidate the fieldsort
+        path must drop."""
+
+        def block_stats(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "nuniq": pa.array([], pa.int64()),
+                        "first_key": t["key"],
+                        "last_key": t["key"],
+                        "first_uid": t["repr_docid"],
+                    }
+                )
+            keys = t["key"].to_numpy(zero_copy_only=False)
+            n = 1 + int(np.count_nonzero(keys[1:] != keys[:-1]))
+            return pa.table(
+                {
+                    "nuniq": pa.array([n], pa.int64()),
+                    "first_key": t["key"].slice(0, 1),
+                    "last_key": t["key"].slice(len(t) - 1, 1),
+                    "first_uid": t["repr_docid"].slice(0, 1),
+                }
+            )
+
+        stats_rows = srt.map_batches(
+            block_stats, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        stats_rows.sort(key=lambda r: (r["first_key"], r["last_key"]))
+        overlaps = [
+            b
+            for a, b in zip(stats_rows, stats_rows[1:])
+            if a["last_key"] == b["first_key"]
+        ]
+        total = sum(r["nuniq"] for r in stats_rows) - len(overlaps)
+        return stats_rows, total, {b["first_uid"] for b in overlaps}
+
+    def _dedup_collect_page(
+        self, ds, page_keys, dedup_field, cols, order_groups, total, total_with_dups
+    ):
+        """Re-collect the page keys' raw partial rows (broadcast ``is_in``,
+        O(page × segments)), merge per key with the dense-path logic, order
+        with ``order_groups``, fetch stored fields — the shared tail of both
+        distributed dedup merges."""
         if not page_keys:
-            return pa.table({"docid": [], "__id__": [], "score": []}), total, total_with_dups
+            return (
+                pa.table({"docid": [], "__id__": [], "score": []}),
+                total,
+                total_with_dups,
+            )
         key_set = pa.array(page_keys)
 
         def filt(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["key"], value_set=key_set))
 
         small = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
-        g = self._merge_group_partials(small).sort_values(
-            ["max_score", "rank_docid"], ascending=[False, True]
-        )
+        g = order_groups(self._merge_group_partials(small))
         return self._dedup_page_table(g, dedup_field, cols), total, total_with_dups
 
     def _dedup_distributed_fieldsort(
@@ -897,55 +943,17 @@ class IndexSearcher:
         sort_cols = tuple(c for c, _, _ in field_sort)
         col_map = {c: f"sv_{c}" for c in sort_cols}
 
-        def block_stats(t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return pa.table(
-                    {
-                        "nuniq": pa.array([], pa.int64()),
-                        "first_key": t["key"],
-                        "last_key": t["key"],
-                        "first_uid": t["repr_docid"],
-                    }
-                )
-            keys = t["key"].to_numpy(zero_copy_only=False)
-            n = 1 + int(np.count_nonzero(keys[1:] != keys[:-1]))
-            return pa.table(
-                {
-                    "nuniq": pa.array([n], pa.int64()),
-                    "first_key": t["key"].slice(0, 1),
-                    "last_key": t["key"].slice(len(t) - 1, 1),
-                    "first_uid": t["repr_docid"].slice(0, 1),
-                }
-            )
-
         def block_candidates(t: pa.Table) -> pa.Table:
             if len(t) == 0:
                 return t
-            keys = t["key"].to_numpy(zero_copy_only=False)
-            first = np.ones(len(keys), dtype=bool)
-            first[1:] = keys[1:] != keys[:-1]
-            ft = t.take(pa.array(np.flatnonzero(first)))
+            ft = _first_per_key(t)
             key_tbl, sort_keys = _sort_key_columns(
                 ft, field_sort, docid_col="repr_docid", col_map=col_map
             )
             idx = pc.sort_indices(key_tbl, sort_keys=sort_keys)[:k]
             return ft.take(idx)
 
-        stats_rows = srt.map_batches(
-            block_stats, batch_format="pyarrow", batch_size=None
-        ).take_all()
-        stats_rows.sort(key=lambda r: (r["first_key"], r["last_key"]))
-        total = sum(r["nuniq"] for r in stats_rows) - sum(
-            1
-            for a, b in zip(stats_rows, stats_rows[1:])
-            if a["last_key"] == b["first_key"]
-        )
-        spurious_uids = {
-            b["first_uid"]
-            for a, b in zip(stats_rows, stats_rows[1:])
-            if a["last_key"] == b["first_key"]
-        }
-
+        stats_rows, total, spurious_uids = self._dedup_block_totals(srt)
         cand_tables = [
             t
             for t in ray.get(
@@ -974,17 +982,15 @@ class IndexSearcher:
         )
         ordered = cand.take(pc.sort_indices(key_tbl, sort_keys=sort_keys))
         page_keys = ordered["key"].slice(start, max(0, stop - start)).to_pylist()
-        if not page_keys:
-            return pa.table({"docid": [], "__id__": [], "score": []}), total, total_with_dups
-        key_set = pa.array(page_keys)
-
-        def filt(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["key"], value_set=key_set))
-
-        small = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
-        g = self._merge_group_partials(small)
-        g = self._order_groups_by_fields(g, field_sort, sort_cols)
-        return self._dedup_page_table(g, dedup_field, cols), total, total_with_dups
+        return self._dedup_collect_page(
+            ds,
+            page_keys,
+            dedup_field,
+            cols,
+            lambda g: self._order_groups_by_fields(g, field_sort, sort_cols),
+            total,
+            total_with_dups,
+        )
 
     def count(self, q) -> int:
         import ray
@@ -1090,14 +1096,18 @@ class IndexSearcher:
         # truncating per-segment in term order would drop high-df terms that
         # sort late, breaking the df-desc re-sort (meresco _lucene.py:132-142)
         acc: dict[str, int] = {}
-        for part in ray.get([a.prefix_terms.remote(prefix, 100_000) for a in self.actors]):
-            if len(part) >= 100_000:
-                # pathological prefix: the safety valve truncated the range,
-                # so the df-desc re-sort below may be missing high-df terms
+        for part, truncated in ray.get(
+            [a.prefix_terms.remote(prefix, 100_000) for a in self.actors]
+        ):
+            if truncated:
+                # pathological prefix: a SEGMENT scan stopped at the valve
+                # with matching terms left, so the df-desc re-sort below may
+                # be missing high-df terms (the per-segment signal — a big
+                # MERGED dict alone means nothing was dropped)
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "prefix_search(%r): per-actor term cap (100000) hit; "
+                    "prefix_search(%r): per-segment term cap (100000) hit; "
                     "df-desc ranking may be incomplete",
                     prefix,
                 )

@@ -966,22 +966,29 @@ class SegmentSearcher:
 
     def prefix_terms(
         self, prefix: str, limit: int, field: str | None = None
-    ) -> tuple[list[str], np.ndarray]:
+    ) -> tuple[list[str], np.ndarray, bool]:
+        """(terms, dfs, truncated) in the prefix range; ``truncated`` is True
+        only when the scan STOPPED at ``limit`` with matching terms left —
+        the exact per-segment signal the engine's cap warning reports."""
         import bisect
 
         scan_prefix = full_term(field, prefix)
         strip = len(scan_prefix) - len(prefix)  # drop the "<field>\x1f" part
         lo = bisect.bisect_left(self.terms, scan_prefix)
         terms, dfs = [], []
+        truncated = False
         for i in range(lo, len(self.terms)):
             t = self.terms[i]
-            if not t.startswith(scan_prefix) or len(terms) >= limit:
+            if not t.startswith(scan_prefix):
                 break
             if field is None and FIELD_SEP in t:
                 continue  # default-field scan skips other fields' keys
+            if len(terms) >= limit:
+                truncated = True
+                break
             terms.append(t[strip:] if strip else t)
             dfs.append(int(self.df[i]))
-        return terms, np.asarray(dfs, dtype=np.int64)
+        return terms, np.asarray(dfs, dtype=np.int64), truncated
 
     def fetch(self, docids: np.ndarray, cols: Sequence[str]) -> pa.Table:
         local = (np.asarray(docids, dtype=np.int64) - self.base).astype(np.int64)

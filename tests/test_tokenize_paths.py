@@ -91,3 +91,29 @@ def test_safe_batches_match_frozen_spec(text):
     import re
 
     assert tk.to_pylist() == re.findall(r"[a-z0-9_]+", text.lower())
+
+
+def test_multifield_emit_dictionary_fast_path():
+    """The multifield tokenize preserves the dictionary-encoded terms column
+    (emit_dictionary) — per-field dictionaries concatenate with code offsets
+    instead of materializing per-run term strings, so the zero-shuffle fused
+    build keeps its dictionary-code reuse downstream."""
+    import pyarrow as pa
+
+    from meresco_lucene_ray.index.build import IndexConfig, TokenizeStage
+
+    cfg = IndexConfig(text_col="text", id_col="__id__", text_fields=("title",))
+    t = pa.table(
+        {
+            "__id__": ["a", "b"],
+            "text": ["hello world", "world again"],
+            "title": ["hello title", "other words"],
+        }
+    )
+    out = TokenizeStage(cfg, emit_dictionary=True)(t)
+    assert pa.types.is_dictionary(out["terms"].type.value_type)
+    out2 = TokenizeStage(cfg, emit_dictionary=False)(t)
+    assert pa.types.is_string(out2["terms"].type.value_type)
+    flat = lambda o: [x for sub in o["terms"].to_pylist() for x in sub]  # noqa: E731
+    assert flat(out) == flat(out2)
+    assert out["tfs"].to_pylist() == out2["tfs"].to_pylist()
