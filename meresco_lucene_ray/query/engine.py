@@ -193,6 +193,35 @@ class _SegmentActorImpl:
             promote_options="default",
         )
 
+    def dedup_and_facets(
+        self, q, sim, stats, key_col, sort_col, attach_cols, facet_specs
+    ):
+        """Fused dedup partials + facet counts in ONE pass per segment
+        (DeDupFilterSuperCollector composing with FacetSuperCollector under
+        one IndexSearcher.search, Lucene.java:436-480): the query is
+        evaluated once and both collectors read the same match mask.
+        Returned as two objects (num_returns=2) so the partial tables can
+        flow into the distributed merge without dragging the facet dicts."""
+        tables = []
+        facet_parts: list[dict[Any, int]] = [{} for _ in facet_specs]
+        for s in self.searchers:
+            mask, scores = s.eval(q, sim, stats)
+            mask = s._apply_live(mask)
+            tables.append(
+                s.dedup_groups(
+                    q, sim, stats, key_col, sort_col, attach_cols,
+                    _precomputed=(mask, scores),
+                )
+            )
+            for i, (col, mode) in enumerate(facet_specs):
+                acc = facet_parts[i]
+                for v, c in s.facet_counts(q, sim, stats, col, mode, _mask=mask).items():
+                    acc[v] = acc.get(v, 0) + c
+        return (
+            pa.concat_tables(tables, promote_options="default"),
+            facet_parts,
+        )
+
     def collect_keys(self, q, sim, stats, key_col, size):
         bs = np.zeros(size, dtype=bool)
         for s in self.searchers:
@@ -561,8 +590,8 @@ class IndexSearcher:
         specs = [(f, "auto") if isinstance(f, str) else tuple(f) for f in facets]
         facet_parts_by_actor: list[list[dict[Any, int]]] | None = None
         if dedup_field:
-            page, total, total_with_dups = self._execute_dedup(
-                q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort
+            page, total, total_with_dups, facet_parts_by_actor = self._execute_dedup(
+                q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort, specs
             )
         elif specs:
             # fused single-pass: one fan-out returns top-k AND facet counts,
@@ -593,19 +622,6 @@ class IndexSearcher:
             page = hits.slice(start, max(0, stop - start))
         drilldown: dict[str, dict[Any, int]] = {}
         if specs:
-            if facet_parts_by_actor is None:
-                # dedup path still fans facets out separately
-                flat = ray.get(
-                    [
-                        a.facet_counts.remote(q, self.sim, stats, colname, mode)
-                        for a in self.actors
-                        for colname, mode in specs
-                    ]
-                )
-                facet_parts_by_actor = [
-                    flat[j * len(specs) : (j + 1) * len(specs)]
-                    for j in range(len(self.actors))
-                ]
             for i, (colname, _mode) in enumerate(specs):
                 agg: dict[Any, int] = {}
                 for per_actor in facet_parts_by_actor:
@@ -648,7 +664,16 @@ class IndexSearcher:
         return merged.take(pc.sort_indices(key_tbl, sort_keys=sort_keys))
 
     def _execute_dedup(
-        self, q, stats, start, stop, dedup_field, dedup_sort_field, cols, sort=None
+        self,
+        q,
+        stats,
+        start,
+        stop,
+        dedup_field,
+        dedup_sort_field,
+        cols,
+        sort=None,
+        facet_specs=(),
     ):
         """Exact dedup/grouping (Q11): per-segment per-key aggregates over ALL
         matching docs, merged per key — group rank = best score in group
@@ -676,27 +701,56 @@ class IndexSearcher:
 
         field_sort = [s for s in (sort or []) if s[0] != "score"]
         sort_cols = tuple(c for c, _, _ in field_sort)
-        refs = [
-            a.dedup_groups.remote(
-                q, self.sim, stats, dedup_field, dedup_sort_field, sort_cols
-            )
-            for a in self.actors
-        ]
+        if facet_specs:
+            # fused single-pass (DeDupFilterSuperCollector + FacetSuperCollector
+            # under one search): each actor returns (partials, facet dicts) as
+            # two objects — the facet dicts stay out of the merge's way
+            pairs = [
+                a.dedup_and_facets.options(num_returns=2).remote(
+                    q,
+                    self.sim,
+                    stats,
+                    dedup_field,
+                    dedup_sort_field,
+                    sort_cols,
+                    list(facet_specs),
+                )
+                for a in self.actors
+            ]
+            refs = [p[0] for p in pairs]
+            facet_parts_by_actor = ray.get([p[1] for p in pairs])
+        else:
+            refs = [
+                a.dedup_groups.remote(
+                    q, self.sim, stats, dedup_field, dedup_sort_field, sort_cols
+                )
+                for a in self.actors
+            ]
+            facet_parts_by_actor = None
         nrows = _get_num_rows_task()
         counts = ray.get([nrows.remote(r) for r in refs])
         self.last_dedup_path = "driver"
         if sum(counts) > self.dedup_driver_max_rows:
             self.last_dedup_path = "distributed"
             if field_sort:
-                return self._dedup_distributed_fieldsort(
+                out = self._dedup_distributed_fieldsort(
                     refs, counts, start, stop, dedup_field, cols, field_sort
                 )
-            return self._dedup_distributed(refs, counts, start, stop, dedup_field, cols)
+            else:
+                out = self._dedup_distributed(
+                    refs, counts, start, stop, dedup_field, cols
+                )
+            return (*out, facet_parts_by_actor)
         parts = ray.get(refs)
         df = pa.concat_tables(parts, promote_options="default").to_pandas()
         self.last_dedup_driver_rows = len(df)
         if df.empty:
-            return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
+            return (
+                pa.table({"docid": [], "__id__": [], "score": []}),
+                0,
+                0,
+                facet_parts_by_actor,
+            )
         total_with_dups = int(df["cnt"].sum())
         g = self._merge_group_partials(df)
         if field_sort:
@@ -707,7 +761,7 @@ class IndexSearcher:
             g = g.sort_values(["max_score", "rank_docid"], ascending=[False, True])
         total = len(g)
         page = self._dedup_page_table(g.iloc[start:stop], dedup_field, cols)
-        return page, total, total_with_dups
+        return page, total, total_with_dups, facet_parts_by_actor
 
     def _order_groups_by_fields(self, g, field_sort, sort_cols):
         """Order merged group rows (one per key, pandas) by the

@@ -890,6 +890,7 @@ class SegmentSearcher:
         key_col: str,
         sort_col: str | None,
         attach_cols: Sequence[str] = (),
+        _precomputed: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> pa.Table:
         """Per-key aggregates over ALL matching docs (DeDupFilterSuperCollector
         analog, /root/reference/src/org/meresco/lucene/search/DeDupFilterSuperCollector.java:43-258):
@@ -900,9 +901,17 @@ class SegmentSearcher:
         representative, emitted as ``sv_<col>`` — field-sorted grouping ranks
         groups by the representatives' sort fields, and attaching the values
         at the source keeps the merge free of a per-group fetch (the global
-        representative's values ride on whichever partial row wins)."""
-        mask, scores = self.eval(q, sim, stats)
-        mask = self._apply_live(mask)
+        representative's values ride on whichever partial row wins).
+
+        ``_precomputed``: an already-live-filtered (mask, raw scores) pair
+        from one shared ``eval`` pass — the fused dedup+facets path
+        (DeDupFilterSuperCollector composing with FacetSuperCollector in one
+        search, Lucene.java:436-480) evaluates the query ONCE per segment."""
+        if _precomputed is not None:
+            mask, scores = _precomputed
+        else:
+            mask, scores = self.eval(q, sim, stats)
+            mask = self._apply_live(mask)
         if stats.get("f32", True):
             scores = scores.astype(np.float32).astype(np.float64)  # float32 like Lucene
         idx = np.flatnonzero(mask)

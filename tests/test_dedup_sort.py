@@ -136,3 +136,27 @@ def test_drilldown_fieldnames_taxonomy_order(ray_session, tmp_path):
     delete_documents(d, ["d0"])
     s.refresh()
     assert s.drilldown_fieldnames("cat", ["r"], order="taxonomy") == ["zeta", "alpha", "mid"]
+
+
+def test_dedup_with_facets_fused_single_pass(grouped_index):
+    """Dedup + facets compose in ONE fused fan-out (DeDupFilterSuperCollector
+    + FacetSuperCollector under one IndexSearcher.search, Lucene.java:436-480):
+    facet counts equal the plain faceted query's (same match set — facets
+    count ALL matching docs, not one per group), and the grouped page equals
+    the facet-less dedup query's — on the driver AND distributed merges."""
+    d, rows = grouped_index
+    s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
+    q = TermQ("common")
+    plain = s.execute(q, stop=0, facets=[("cat", "hier")])
+    for gate in (500000, 0):
+        s.dedup_driver_max_rows = gate
+        ref = s.execute(q, stop=5, dedup_field="grp", dedup_sort_field="prio")
+        got = s.execute(
+            q, stop=5, dedup_field="grp", dedup_sort_field="prio",
+            facets=[("cat", "hier")],
+        )
+        assert s.last_dedup_path == ("driver" if gate else "distributed")
+        assert got.drilldown_data["cat"] == plain.drilldown_data["cat"]
+        assert got.total == ref.total == 5
+        assert got.hits["grp"].to_pylist() == ref.hits["grp"].to_pylist()
+        assert got.hits["duplicateCount"].to_pylist() == ref.hits["duplicateCount"].to_pylist()
