@@ -1268,61 +1268,74 @@ class IndexSearcher:
         supplies per-doc term vectors (the reference reads them from the
         Lucene index; this engine does not store term vectors, so the
         caller provides the lookup — typically a batched stored-field or
-        source-table read).  Returns (total_hits, [ClusterHit...])."""
-        from ..cluster import ClusterHit, DocScore, MerescoClusterer, TermScore
+        source-table read).  Returns (total_hits, [ClusterHit...]).
+
+        Adaptive retry (Lucene.java:284-320): when cluster collapse consumes
+        more hits than the ``clusterMoreRecords`` overfetch covered and the
+        page comes back short while more matches exist, the collector stop
+        grows ×10 (capped at ``MAX_RETRY_K``) and the search re-runs."""
+        from ..cluster import ClusterHit, DocScore, MerescoClusterer
 
         more = cluster_config.cluster_more_records
-        res = self.execute(q, start=0, stop=stop + more)
-        hits = res.hits
-        ids = hits["__id__"].to_pylist()[start:]
-        docids = hits["docid"].to_pylist()[start:]
-        scores = hits["score"].to_pylist()[start:]
+        k = stop + more
+        while True:
+            res = self.execute(q, start=0, stop=k)
+            hits = res.hits
+            ids = hits["__id__"].to_pylist()[start:]
+            docids = hits["docid"].to_pylist()[start:]
+            scores = hits["score"].to_pylist()[start:]
 
-        clusterer = MerescoClusterer(
-            cluster_config,
-            total_hits=res.total,
-            slice_size=stop - start,
-            interpolate=True,
-        )
-        by_docid = dict(zip(docids, ids))
-        if termvectors_fn is None and self.has_stored_termvectors():
-            tvs = self.termvectors_by_docid(docids)
-            fts = [tvs.get(did, {}) for did in docids]
-        else:
-            fts = termvectors_fn(ids)
-        for did, ft in zip(docids, fts):
-            clusterer.collect(did, ft)
-        clusterer.finish()
-
-        out: list[ClusterHit] = []
-        seen: set[int] = set()
-        count = start
-        for did, hid, sc in zip(docids, ids, scores):
-            if count >= stop:
-                break
-            if did in seen:
-                continue
-            cluster = clusterer.cluster(did)
-            if cluster is None:
-                seen.add(did)
-                out.append(ClusterHit(id=hid, score=float(sc)))
+            clusterer = MerescoClusterer(
+                cluster_config,
+                total_hits=res.total,
+                slice_size=stop - start,
+                interpolate=True,
+            )
+            by_docid = dict(zip(docids, ids))
+            if termvectors_fn is None and self.has_stored_termvectors():
+                tvs = self.termvectors_by_docid(docids)
+                fts = [tvs.get(did, {}) for did in docids]
             else:
-                rep = cluster.top_docs[0].doc_id
-                for ds in cluster.top_docs:
-                    seen.add(ds.doc_id)
-                out.append(
-                    ClusterHit(
-                        id=by_docid.get(rep, hid),
-                        score=float(sc),
-                        top_docs=[
-                            DocScore(by_docid.get(d.doc_id, d.doc_id), d.score)
-                            for d in cluster.top_docs
-                        ],
-                        top_terms=list(cluster.top_terms),
+                fts = termvectors_fn(ids)
+            for did, ft in zip(docids, fts):
+                clusterer.collect(did, ft)
+            clusterer.finish()
+
+            out: list[ClusterHit] = []
+            seen: set[int] = set()
+            count = start
+            for did, hid, sc in zip(docids, ids, scores):
+                if count >= stop:
+                    break
+                if did in seen:
+                    continue
+                cluster = clusterer.cluster(did)
+                if cluster is None:
+                    seen.add(did)
+                    out.append(ClusterHit(id=hid, score=float(sc)))
+                else:
+                    rep = cluster.top_docs[0].doc_id
+                    for ds in cluster.top_docs:
+                        seen.add(ds.doc_id)
+                    out.append(
+                        ClusterHit(
+                            id=by_docid.get(rep, hid),
+                            score=float(sc),
+                            top_docs=[
+                                DocScore(by_docid.get(d.doc_id, d.doc_id), d.score)
+                                for d in cluster.top_docs
+                            ],
+                            top_terms=list(cluster.top_terms),
+                        )
                     )
-                )
-            count += 1
-        return res.total, out
+                count += 1
+            if (
+                len(out) >= stop - start
+                or len(hits) >= res.total
+                or k >= MAX_RETRY_K
+            ):
+                return res.total, out
+            k = min(k * 10, MAX_RETRY_K)
 
     def more_like_this(self, doc_id: str, text: str, stop: int = 10) -> SearchResult:
         """Q15 similarDocuments (Lucene.java:818-846): OR-query of the doc's

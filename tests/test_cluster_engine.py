@@ -162,3 +162,39 @@ def test_clustering_wins_over_dedup(searcher):
     assert res.cluster_hits is not None and len(res.cluster_hits) == 3
     # dedup suppressed: no dedup bookkeeping on the response
     assert res.total_with_duplicates is None
+
+
+def test_cluster_retry_grows_overfetch(ray_session, tmp_path_factory):
+    """Lucene.java:284-320: when cluster collapse consumes more hits than
+    clusterMoreRecords covered and the page is short while more matches
+    exist, the collector stop grows x10 and the search re-runs.  25 of 30
+    docs form ONE cluster; with clusterMoreRecords=2 and stop=5 the first
+    pass sees only that cluster (1 collapsed hit) — the retry must surface
+    the 5 distinct docs."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.index import IndexConfig, build_index
+
+    texts = {f"dup{i:02d}": "common aap noot mies vuur" for i in range(25)}
+    for i in range(5):
+        texts[f"uniq{i}"] = f"common xx{i} yy{i} zz{i} qq{i}"
+    # duplicate docs carry an extra matching term so they outrank the
+    # distinct docs and fill the whole first page
+    texts = {k: ("common " + v if k.startswith("dup") else v) for k, v in texts.items()}
+    t = pa.table({"__id__": list(texts), "text": list(texts.values())})
+    d = str(tmp_path_factory.mktemp("clretry") / "idx")
+    build_index(
+        rd.from_arrow(t), d, IndexConfig(text_col="text", id_col="__id__", num_shards=2)
+    )
+    s = IndexSearcher(d, num_actors=1, num_cpus=0.25)
+    tvfn = lambda ids: [{"text": Counter(tokenize(texts[i]))} for i in ids]  # noqa: E731
+
+    cfg = ClusterConfig(cluster_more_records=2).add_strategy(
+        ClusterStrategy(0.5, 2).add_field("text", 1.0, None)
+    )
+    total, hits = s.cluster_top_docs(TermQ("common"), cfg, tvfn, start=0, stop=5)
+    assert total == 30
+    # page filled despite the giant cluster: its representative + 4 distinct
+    assert len(hits) == 5
+    dup_reps = [h for h in hits if h.id.startswith("dup")]
+    assert len(dup_reps) == 1 and len(dup_reps[0].top_docs) == 25
