@@ -745,12 +745,7 @@ class IndexSearcher:
         df = pa.concat_tables(parts, promote_options="default").to_pandas()
         self.last_dedup_driver_rows = len(df)
         if df.empty:
-            return (
-                pa.table({"docid": [], "__id__": [], "score": []}),
-                0,
-                0,
-                facet_parts_by_actor,
-            )
+            return self._empty_dedup_page(dedup_field, cols), 0, 0, facet_parts_by_actor
         total_with_dups = int(df["cnt"].sum())
         g = self._merge_group_partials(df)
         if field_sort:
@@ -795,6 +790,24 @@ class IndexSearcher:
         )
         cnt = df.groupby("key", sort=False)["cnt"].sum().reset_index()
         return rank.merge(rep, on="key").merge(cnt, on="key")
+
+    def _empty_dedup_page(self, dedup_field, cols) -> pa.Table:
+        """Zero-row dedup page with the SAME shape every path produces
+        (dedup_field, score, duplicateCount, docid) — paging past the last
+        group must not change the hits schema between the driver and
+        distributed merges."""
+        import pandas as pd
+
+        g = pd.DataFrame(
+            {
+                "key": pd.Series([], dtype=object),
+                "max_score": pd.Series([], dtype=float),
+                "cnt": pd.Series([], dtype="int64"),
+                "rank_docid": pd.Series([], dtype="int64"),
+                "repr_docid": pd.Series([], dtype="int64"),
+            }
+        )
+        return self._dedup_page_table(g, dedup_field, cols)
 
     def _dedup_page_table(self, page, dedup_field, cols) -> pa.Table:
         """Fetch stored fields for the page's representatives and shape the
@@ -842,7 +855,7 @@ class IndexSearcher:
 
         live = [r for r, c in zip(refs, counts) if c]
         if not live:
-            return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
+            return self._empty_dedup_page(dedup_field, cols), 0, 0
         ds = rd.from_arrow_refs(live)
         total_with_dups = int(ds.sum("cnt") or 0)
         srt = ds.sort(
@@ -933,11 +946,7 @@ class IndexSearcher:
         with ``order_groups``, fetch stored fields — the shared tail of both
         distributed dedup merges."""
         if not page_keys:
-            return (
-                pa.table({"docid": [], "__id__": [], "score": []}),
-                total,
-                total_with_dups,
-            )
+            return self._empty_dedup_page(dedup_field, cols), total, total_with_dups
         key_set = pa.array(page_keys)
 
         def filt(t: pa.Table) -> pa.Table:
@@ -987,7 +996,7 @@ class IndexSearcher:
 
         live = [r for r, c in zip(refs, counts) if c]
         if not live:
-            return pa.table({"docid": [], "__id__": [], "score": []}), 0, 0
+            return self._empty_dedup_page(dedup_field, cols), 0, 0
         ds = rd.from_arrow_refs(live)
         total_with_dups = int(ds.sum("cnt") or 0)
         srt = ds.sort(
@@ -1018,11 +1027,7 @@ class IndexSearcher:
             if t.num_rows
         ]
         if not cand_tables:
-            return (
-                pa.table({"docid": [], "__id__": [], "score": []}),
-                total,
-                total_with_dups,
-            )
+            return self._empty_dedup_page(dedup_field, cols), total, total_with_dups
         cand = pa.concat_tables(cand_tables, promote_options="default")
         self.last_dedup_driver_rows = cand.num_rows + len(stats_rows)
         if spurious_uids:
