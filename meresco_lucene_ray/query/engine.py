@@ -137,6 +137,22 @@ class _SegmentActorImpl:
         merged = pa.concat_tables(tables, promote_options="default")
         return merged, total
 
+    def _fused_pass(self, q, sim, stats, facet_specs, collect):
+        """ONE eval per segment feeding an arbitrary collector AND the facet
+        counters from the shared live-filtered match mask (the
+        MultiCollector-of-SuperCollectors shape both fused paths use)."""
+        tables = []
+        facet_parts: list[dict[Any, int]] = [{} for _ in facet_specs]
+        for s in self.searchers:
+            mask, scores = s.eval(q, sim, stats)
+            mask = s._apply_live(mask)
+            tables.append(collect(s, mask, scores))
+            for i, (col, mode) in enumerate(facet_specs):
+                acc = facet_parts[i]
+                for v, c in s.facet_counts(q, sim, stats, col, mode, _mask=mask).items():
+                    acc[v] = acc.get(v, 0) + c
+        return tables, facet_parts
+
     def search(self, q, k, sim, stats, sort_spec, cols, facet_specs):
         """Fused top-k + facet counts in ONE pass over each segment
         (MultiCollector-of-SuperCollectors analog — the reference collects
@@ -144,18 +160,15 @@ class _SegmentActorImpl:
         IndexSearcher.search, Lucene.java:253-342): the query is evaluated
         once per segment and both collectors read the same match mask —
         one fan-out round trip instead of two, one eval instead of two."""
-        tables = []
-        facet_parts: list[dict[Any, int]] = [{} for _ in facet_specs]
-        for s in self.searchers:
-            mask, scores = s.eval(q, sim, stats)
-            mask = s._apply_live(mask)
-            tables.append(
-                s.top_k(q, k, sim, stats, sort_spec, cols, _precomputed=(mask, scores))
-            )
-            for i, (col, mode) in enumerate(facet_specs):
-                acc = facet_parts[i]
-                for v, c in s.facet_counts(q, sim, stats, col, mode, _mask=mask).items():
-                    acc[v] = acc.get(v, 0) + c
+        tables, facet_parts = self._fused_pass(
+            q,
+            sim,
+            stats,
+            facet_specs,
+            lambda s, m, sc: s.top_k(
+                q, k, sim, stats, sort_spec, cols, _precomputed=(m, sc)
+            ),
+        )
         total = sum(int(t.schema.metadata[b"total"]) for t in tables)
         merged = pa.concat_tables(tables, promote_options="default")
         return merged, total, facet_parts
@@ -202,25 +215,16 @@ class _SegmentActorImpl:
         evaluated once and both collectors read the same match mask.
         Returned as two objects (num_returns=2) so the partial tables can
         flow into the distributed merge without dragging the facet dicts."""
-        tables = []
-        facet_parts: list[dict[Any, int]] = [{} for _ in facet_specs]
-        for s in self.searchers:
-            mask, scores = s.eval(q, sim, stats)
-            mask = s._apply_live(mask)
-            tables.append(
-                s.dedup_groups(
-                    q, sim, stats, key_col, sort_col, attach_cols,
-                    _precomputed=(mask, scores),
-                )
-            )
-            for i, (col, mode) in enumerate(facet_specs):
-                acc = facet_parts[i]
-                for v, c in s.facet_counts(q, sim, stats, col, mode, _mask=mask).items():
-                    acc[v] = acc.get(v, 0) + c
-        return (
-            pa.concat_tables(tables, promote_options="default"),
-            facet_parts,
+        tables, facet_parts = self._fused_pass(
+            q,
+            sim,
+            stats,
+            facet_specs,
+            lambda s, m, sc: s.dedup_groups(
+                q, sim, stats, key_col, sort_col, attach_cols, _precomputed=(m, sc)
+            ),
         )
+        return pa.concat_tables(tables, promote_options="default"), facet_parts
 
     def collect_keys(self, q, sim, stats, key_col, size):
         bs = np.zeros(size, dtype=bool)
@@ -321,7 +325,7 @@ class TermStatsReader:
             t["df"].to_numpy(zero_copy_only=False),
         )
         if len(self._rg_cache) >= self._cache_groups:
-            self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache.pop(next(iter(self._rg_cache)), None)
         self._rg_cache[gi] = arrs
         return arrs
 
@@ -545,7 +549,7 @@ class IndexSearcher:
             n = max(self.manifest.num_docs, 1)
             out["avgdl_fields"] = {f: v / n for f, v in sum_dl_fields.items()}
         if len(self._cache) >= 50:
-            self._cache.pop(next(iter(self._cache)))
+            self._cache.pop(next(iter(self._cache)), None)  # default: two threads may race the same eviction key
         self._cache[cache_key] = dict(out)
         return out
 
@@ -793,9 +797,9 @@ class IndexSearcher:
 
     def _empty_dedup_page(self, dedup_field, cols) -> pa.Table:
         """Zero-row dedup page with the SAME shape every path produces
-        (dedup_field, score, duplicateCount, docid) — paging past the last
-        group must not change the hits schema between the driver and
-        distributed merges."""
+        (dedup_field, score, duplicateCount, docid, __id__) — paging past
+        the last group or matching nothing must not change the hits schema
+        between the driver and distributed merges."""
         import pandas as pd
 
         g = pd.DataFrame(
@@ -811,7 +815,11 @@ class IndexSearcher:
 
     def _dedup_page_table(self, page, dedup_field, cols) -> pa.Table:
         """Fetch stored fields for the page's representatives and shape the
-        hits table (shared by the driver and distributed merge paths)."""
+        hits table (shared by the driver and distributed merge paths).
+        Empty pages keep the ``__id__`` column (``SearchResult.ids()``
+        indexes it) even though there is nothing to fetch."""
+        import pandas as pd
+
         fetched = self.fetch(
             page["repr_docid"].to_numpy(),
             ["__id__", *[c for c in cols if c != dedup_field]],
@@ -823,6 +831,8 @@ class IndexSearcher:
         )
         if fetched is not None:
             out = out.merge(fetched.to_pandas(), on="docid", how="left")
+        elif "__id__" not in out.columns:
+            out["__id__"] = pd.Series([], dtype=object)  # fetch skipped: page empty
         return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
     def _dedup_distributed(self, refs, counts, start, stop, dedup_field, cols):
@@ -1081,7 +1091,7 @@ class IndexSearcher:
             return self._cache[key]
         val = compute()
         if len(self._cache) >= 50:
-            self._cache.pop(next(iter(self._cache)))
+            self._cache.pop(next(iter(self._cache)), None)  # default: two threads may race the same eviction key
         self._cache[key] = val
         return val
 

@@ -73,3 +73,19 @@ def test_concurrent_queries_match_sequential(conc_searcher):
         got = list(ex.map(lambda f: _snapshot(f()), work))
     for i, snap in enumerate(got):
         assert snap == expected[i % len(tasks)], f"task {i % len(tasks)} diverged"
+
+
+def test_collector_lru_eviction_under_threads(conc_searcher):
+    """The 50-entry collector/stats LRU evicts with pop(key, None): many
+    distinct cached computations from concurrent threads must never raise
+    even when two threads race the same eviction key."""
+    s = conc_searcher
+    size = 40
+
+    def one(i):
+        bs = s.collect_keys(TermQ(f"word{i}" if i % 3 else "hit"), "prio", size)
+        return int(bs.sum())
+
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        got = list(ex.map(one, range(120)))
+    assert len(got) == 120

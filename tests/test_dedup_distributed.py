@@ -170,3 +170,16 @@ def test_distributed_driver_payload_o_page(ray_session, tmp_path_factory):
     s.execute(TermQ("hit"), stop=10, dedup_field="grp")
     assert s.last_dedup_path == "driver"
     assert s.last_dedup_driver_rows >= 1500
+
+
+def test_zero_match_dedup_keeps_id_column(highcard_index):
+    """A dedup query matching NOTHING still returns a hits table with the
+    __id__ column — SearchResult.ids() must return [] (it indexes __id__),
+    on the driver path and past the gate."""
+    for gate in (500000, 0):
+        s = IndexSearcher(highcard_index, num_actors=2, num_cpus=0.25)
+        s.dedup_driver_max_rows = gate
+        res = s.execute(TermQ("nosuchterm"), stop=5, dedup_field="grp")
+        assert res.total == 0
+        assert res.ids() == []
+        assert "__id__" in res.hits.column_names
