@@ -97,6 +97,16 @@ def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     return {c: v[order] for c, v in out.items()}
 
 
+def _gather_tables(cols, *tables):
+    t = pa.concat_tables([tb.select(cols) for tb in tables], promote_options="default")
+    out = {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
+    order = np.argsort(out[cols[0]], kind="stable")
+    return {c: v[order] for c, v in out.items()}
+
+
+_GATHER_REMOTE = None  # decorated once per process, not re-exported per query
+
+
 def gather_small_ref(ds, columns: list[str]):
     """Like :func:`gather_small`, but the gather + sort runs INSIDE a Ray
     task over the dataset's block refs and the result stays in the object
@@ -104,23 +114,21 @@ def gather_small_ref(ds, columns: list[str]):
     to :func:`broadcast_semi` / :func:`broadcast_anti` /
     :func:`broadcast_attach`.  The broadcast payload never streams through
     the driver heap — at the 20M-row broadcast gate that is hundreds of MB
-    the driver would otherwise copy once per query."""
+    the driver would otherwise copy once per query.
+
+    Contract: ``ds`` must already be materialized (every caller gates on
+    ``ds.count()`` first, which executes the plan) — ``to_arrow_refs`` on a
+    still-lazy Dataset would re-run its upstream pipeline."""
     import ray
 
     refs = ds.to_arrow_refs()
     if not refs:
         return ray.put(_empty_payload(ds, columns))
 
-    @ray.remote(num_cpus=1)
-    def _gather(cols, *tables):
-        t = pa.concat_tables(
-            [tb.select(cols) for tb in tables], promote_options="default"
-        )
-        out = {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
-        order = np.argsort(out[cols[0]], kind="stable")
-        return {c: v[order] for c, v in out.items()}
-
-    return _gather.remote(list(columns), *refs)
+    global _GATHER_REMOTE
+    if _GATHER_REMOTE is None:
+        _GATHER_REMOTE = ray.remote(num_cpus=1)(_gather_tables)
+    return _GATHER_REMOTE.remote(list(columns), *refs)
 
 
 def _broadcast_keys(obj, key_col: str) -> np.ndarray:

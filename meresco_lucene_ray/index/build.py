@@ -415,6 +415,19 @@ class TokenizeStage:
             dictionary = dictionary.cast(pa.string())
         if isinstance(dictionary, pa.ChunkedArray):
             dictionary = dictionary.combine_chunks()
+        if len(dictionary) and pc.any(
+            pc.match_substring(dictionary, "\x1f")
+        ).as_py():
+            # the concatenated multifield dictionary's uniqueness (required
+            # by the code-reuse rank-remap and the sorted-terms bisect)
+            # depends on no token containing the reserved separator — true
+            # for the built-in [a-z0-9_]+ tokenizers, enforced here for
+            # custom analyzers (the check scans DISTINCT terms, not tokens)
+            raise ValueError(
+                f"analyzer for field {field_name!r} emitted a token containing "
+                "the reserved field separator U+001F; strip or replace it in "
+                "the custom analyzer"
+            )
         if prefix and len(dictionary):
             dictionary = pc.binary_join_element_wise(
                 pa.scalar(prefix), dictionary, ""

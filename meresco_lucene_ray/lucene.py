@@ -360,8 +360,8 @@ class Lucene:
         if res.total == 0:
             return ListResponse(total=0, hits=[])
         docid = res.hits["docid"][0].as_py()
-        tv = self.searcher.termvectors_by_docid([docid])[docid]
-        terms = sorted({t for counter in tv.values() for t in counter})
+        trip = self.searcher.termvector_triples([docid])
+        terms = sorted(set(trip["term"].to_pylist()))
         q = BoolQ(
             should=tuple(TermQ(t) for t in terms),
             must_not=(DocValEqQ("__id__", identifier),),

@@ -42,6 +42,20 @@ MAX_RETRY_K = 10000  # paging retry cap (Lucene.java:312-319)
 # only ever sees O(page × blocks) rows
 DEDUP_DRIVER_MAX_ROWS = int(os.environ.get("MLR_DEDUP_DRIVER_MAX", "500000"))
 
+
+def _evict_one(cache: dict) -> None:
+    """Drop one (oldest-inserted) entry from a plain-dict LRU.  Concurrent
+    clients are a supported mode and CPython dicts are not: between
+    ``iter()`` and ``next()`` another thread may insert/evict, raising
+    RuntimeError ("dictionary changed size during iteration") — or empty the
+    dict (StopIteration), or pop the same key (handled by ``pop`` default).
+    Losing one eviction under a race is harmless for a size-capped cache;
+    corrupting a query is not."""
+    try:
+        cache.pop(next(iter(cache)), None)
+    except (RuntimeError, StopIteration, KeyError):
+        pass
+
 def _sort_key_columns(
     tbl: pa.Table, sort, docid_col: str = "docid", col_map: dict | None = None
 ) -> tuple[pa.Table, list[tuple[str, str]]]:
@@ -277,6 +291,11 @@ class _SegmentActorImpl:
             sel = docids[(docids >= lo) & (docids < hi)]
             if sel.size:
                 out.append(s.fetch(sel, cols))
+        if not out and self.searchers:
+            # zero-row but TYPED: consumers (empty dedup pages, paging past
+            # the last group) must see the same column schema as non-empty
+            # fetches — the doc table supplies the dtypes
+            return self.searchers[0].fetch(np.empty(0, dtype=np.int64), cols)
         return pa.concat_tables(out) if out else None
 
 
@@ -325,7 +344,7 @@ class TermStatsReader:
             t["df"].to_numpy(zero_copy_only=False),
         )
         if len(self._rg_cache) >= self._cache_groups:
-            self._rg_cache.pop(next(iter(self._rg_cache)), None)
+            _evict_one(self._rg_cache)
         self._rg_cache[gi] = arrs
         return arrs
 
@@ -434,19 +453,53 @@ class IndexSearcher:
         external provider."""
         return bool(self.manifest.config.get("store_termvectors"))
 
+    def termvector_triples(self, docids) -> pa.Table:
+        """(docid, term, tf) triples from the stored tv_terms/tv_tfs list
+        columns (reader.getTermVector analog) — ONE vectorized list-flatten
+        (list_parent_indices + list_flatten, both Arrow C kernels), no
+        Python loop over docs or terms."""
+        t = self.fetch(np.asarray(docids, dtype=np.int64), ["tv_terms", "tv_tfs"])
+        if t is None or len(t) == 0:
+            return pa.table(
+                {
+                    "docid": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        terms = t["tv_terms"].combine_chunks()
+        parent = pc.list_parent_indices(terms)
+        return pa.table(
+            {
+                "docid": pc.take(t["docid"], parent),
+                "term": pc.list_flatten(terms),
+                "tf": pc.list_flatten(t["tv_tfs"].combine_chunks()),
+            }
+        )
+
     def termvectors_by_docid(self, docids) -> dict:
-        """docid → {text_field: Counter(term→tf)} from the stored tv_terms/
-        tv_tfs doc columns (reader.getTermVector analog)."""
+        """docid → {text_field: Counter(term→tf)} — the clusterer-boundary
+        adapter over :meth:`termvector_triples` (MerescoClusterer.collect
+        takes dict[field, Counter]).  The only loop is over run BOUNDARIES
+        (one slice per doc, ≤ a page of docs by design); extraction itself
+        is the vectorized flatten.  Docs with an empty term vector are
+        absent (callers use ``.get(did, {})``)."""
         from collections import Counter
 
-        t = self.fetch(docids, ["tv_terms", "tv_tfs"])
+        trip = self.termvector_triples(docids)
         field = self.manifest.config.get("text_col", "content")
-        out = {}
-        for did, terms, tfs in zip(
-            t["docid"].to_pylist(), t["tv_terms"].to_pylist(), t["tv_tfs"].to_pylist()
-        ):
-            out[did] = {field: Counter(dict(zip(terms, tfs)))}
-        return out
+        dids = trip["docid"].to_numpy()
+        terms = trip["term"].to_pylist()
+        tfs = trip["tf"].to_pylist()
+        if not len(dids):
+            return {}
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(dids[1:] != dids[:-1]) + 1, [len(dids)])
+        )
+        return {
+            int(dids[lo]): {field: Counter(dict(zip(terms[lo:hi], tfs[lo:hi])))}
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        }
 
     def __init__(
         self,
@@ -549,7 +602,7 @@ class IndexSearcher:
             n = max(self.manifest.num_docs, 1)
             out["avgdl_fields"] = {f: v / n for f, v in sum_dl_fields.items()}
         if len(self._cache) >= 50:
-            self._cache.pop(next(iter(self._cache)), None)  # default: two threads may race the same eviction key
+            _evict_one(self._cache)
         self._cache[cache_key] = dict(out)
         return out
 
@@ -816,24 +869,49 @@ class IndexSearcher:
     def _dedup_page_table(self, page, dedup_field, cols) -> pa.Table:
         """Fetch stored fields for the page's representatives and shape the
         hits table (shared by the driver and distributed merge paths).
-        Empty pages keep the ``__id__`` column (``SearchResult.ids()``
-        indexes it) even though there is nothing to fetch."""
-        import pandas as pd
+        Empty pages carry the SAME columns as non-empty ones — ``fetch``
+        returns a typed zero-row table (doc-table dtypes) so ``__id__`` AND
+        every requested stored field survive paging past the last group.
 
+        Pure Arrow, order-preserving: the page rows arrive in final rank
+        order and ``pa.Table.join`` does not preserve it, so the fetched
+        rows are aligned by a sorted-docid ``searchsorted`` gather instead
+        of a pandas merge (the same pattern as the `_merge_hits` top-k
+        merge — no to_pandas on the per-query path)."""
+        tbl = (
+            page
+            if isinstance(page, pa.Table)
+            else pa.Table.from_pandas(page, preserve_index=False)
+        )
+        docids = tbl["repr_docid"].to_numpy(zero_copy_only=False).astype(np.int64)
         fetched = self.fetch(
-            page["repr_docid"].to_numpy(),
-            ["__id__", *[c for c in cols if c != dedup_field]],
+            docids, ["__id__", *[c for c in cols if c != dedup_field]]
         )
-        out = page.rename(
-            columns={"max_score": "score", "cnt": "duplicateCount", "key": dedup_field}
-        )[[dedup_field, "score", "duplicateCount", "repr_docid"]].rename(
-            columns={"repr_docid": "docid"}
+        out = pa.table(
+            {
+                dedup_field: tbl["key"],
+                "score": tbl["max_score"],
+                "duplicateCount": tbl["cnt"],
+                "docid": pa.array(docids, type=pa.int64()),
+            }
         )
-        if fetched is not None:
-            out = out.merge(fetched.to_pandas(), on="docid", how="left")
-        elif "__id__" not in out.columns:
-            out["__id__"] = pd.Series([], dtype=object)  # fetch skipped: page empty
-        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+        if fetched is None:  # no searchers at all
+            return out.append_column("__id__", pa.array([None] * len(out), pa.string()))
+        f_docids = fetched["docid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(f_docids, kind="stable")
+        if len(f_docids):
+            pos = np.minimum(
+                np.searchsorted(f_docids[order], docids), len(f_docids) - 1
+            )
+            found = f_docids[order][pos] == docids
+            idx = pa.array(order[pos], mask=~found, type=pa.int64())
+        else:
+            idx = pa.array(np.zeros(len(docids), dtype=np.int64), mask=np.ones(len(docids), dtype=bool)) if len(docids) else pa.array([], type=pa.int64())
+        aligned = fetched.take(idx)
+        for name in aligned.column_names:
+            if name != "docid":
+                out = out.append_column(name, aligned[name])
+        return out
 
     def _dedup_distributed(self, refs, counts, start, stop, dedup_field, cols):
         """Distributed dedup-group merge (the 100 TB path for Q11): the
@@ -1091,7 +1169,7 @@ class IndexSearcher:
             return self._cache[key]
         val = compute()
         if len(self._cache) >= 50:
-            self._cache.pop(next(iter(self._cache)), None)  # default: two threads may race the same eviction key
+            _evict_one(self._cache)
         self._cache[key] = val
         return val
 
