@@ -96,40 +96,110 @@ def bitset_from_keys(keys: np.ndarray, size: int) -> np.ndarray:
     return bs
 
 
-def keys_of_dataset(ds, key_col: str, size: int) -> KeyBits:
-    """KeyCollector over a Dataset: one streaming pass, per-batch partials
-    OR-merged on the driver.
+def _adaptive_partial_row(keys: np.ndarray, size: int) -> pa.Table:
+    """One adaptive partial: sparse unique-key array when smaller than the
+    packed bitset, else the packed bitset."""
+    if keys.size * 64 < size:
+        payload, kind = keys.astype("<i8").tobytes(), "sparse"
+    else:
+        payload, kind = np.packbits(bitset_from_keys(keys, size)).tobytes(), "dense"
+    return pa.table(
+        {
+            "kind": pa.array([kind], type=pa.string()),
+            "payload": pa.array([payload], type=pa.large_binary()),
+        }
+    )
 
-    Each partial is ADAPTIVE: the batch's unique keys as a sparse int64
-    array when that is smaller than the packed bitset, else the packed
-    bitset — so a 10^9-bit key space never ships 125 MB per batch of a few
-    thousand distinct keys (the round-1 scale trap)."""
+
+def _fold_partials(size: int, tables) -> tuple[np.ndarray | None, np.ndarray]:
+    """OR-fold adaptive partial tables → (dense bool[size] | None, sparse
+    keys) — dense stays None while only sparse partials were seen."""
+    bs: np.ndarray | None = None
+    sparse: list[np.ndarray] = []
+    for t in tables:
+        if len(t) == 0 or "kind" not in t.column_names:
+            continue  # Ray 2.49 zero-row blocks carry an EMPTY schema
+        for kind, payload in zip(t["kind"].to_pylist(), t["payload"].to_pylist()):
+            if kind == "sparse":
+                sparse.append(np.frombuffer(payload, dtype="<i8"))
+            else:
+                arr = np.unpackbits(
+                    np.frombuffer(payload, dtype=np.uint8), count=size
+                ).astype(bool)
+                bs = arr if bs is None else bs | arr
+    keys = (
+        np.unique(np.concatenate(sparse))
+        if sparse
+        else np.empty(0, dtype=np.int64)
+    )
+    return bs, keys
+
+
+def _merge_partials(size: int, *tables) -> pa.Table:
+    """Tree-reduce combiner: OR-merge a group of adaptive partials into ONE
+    adaptive partial (sparse union stays sparse while it is the smaller
+    encoding)."""
+    bs, keys = _fold_partials(size, tables)
+    if bs is None:
+        return _adaptive_partial_row(keys, size)
+    if keys.size:
+        bs[keys] = True
+    return pa.table(
+        {
+            "kind": pa.array(["dense"], type=pa.string()),
+            "payload": pa.array([np.packbits(bs).tobytes()], type=pa.large_binary()),
+        }
+    )
+
+
+_MERGE_REMOTE = None  # decorated once per process
+
+
+def keys_of_dataset(ds, key_col: str, size: int, fanin: int | None = None) -> KeyBits:
+    """KeyCollector over a Dataset: one streaming pass producing per-batch
+    ADAPTIVE partials (the batch's unique keys as a sparse int64 array when
+    that is smaller than the packed bitset, else the packed bitset — so a
+    10^9-bit key space never ships 125 MB per batch of a few thousand
+    distinct keys, the round-1 scale trap), OR-merged by a TREE REDUCE in
+    Ray tasks: groups of ``fanin`` partial blocks combine into one partial
+    per round, so the driver deserializes at most ``fanin`` payloads after
+    O(log_fanin blocks) task rounds — at 10^5+ blocks the former serial
+    driver loop over every payload is gone.  The partials stay in the
+    object store until their merge task consumes them.
+
+    ``keys_of_dataset.last_driver_payloads`` records how many partial rows
+    the final driver fold saw (test pin, mirroring last_dedup_driver_rows)."""
+    import os
+
+    import ray
+
+    if fanin is None:
+        fanin = int(os.environ.get("MLR_BITSET_FANIN", "64"))
+    fanin = max(fanin, 2)
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = np.unique(batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64))
-        keys = keys[(keys >= 0) & (keys < size)]
-        if keys.size * 64 < size:
-            payload = keys.astype("<i8").tobytes()
-            kind = "sparse"
-        else:
-            payload = np.packbits(bitset_from_keys(keys, size)).tobytes()
-            kind = "dense"
-        return pa.table(
-            {
-                "kind": pa.array([kind], type=pa.string()),
-                "payload": pa.array([payload], type=pa.large_binary()),
-            }
-        )
+        return _adaptive_partial_row(keys[(keys >= 0) & (keys < size)], size)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    bs = np.zeros(size, dtype=bool)
-    for row in parts:
-        if row["kind"] == "sparse":
-            bs[np.frombuffer(row["payload"], dtype="<i8")] = True
-        else:
-            bs |= np.unpackbits(
-                np.frombuffer(row["payload"], dtype=np.uint8), count=size
-            ).astype(bool)
+    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    global _MERGE_REMOTE
+    if _MERGE_REMOTE is None:
+        _MERGE_REMOTE = ray.remote(num_cpus=1)(_merge_partials)
+    rounds = 0
+    while len(refs) > fanin:
+        refs = [
+            _MERGE_REMOTE.remote(size, *refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+        rounds += 1
+    parts = ray.get(refs)
+    keys_of_dataset.last_driver_payloads = sum(len(t) for t in parts)
+    keys_of_dataset.last_merge_rounds = rounds
+    bs, keys = _fold_partials(size, parts)
+    if bs is None:
+        bs = bitset_from_keys(keys, size)
+    elif keys.size:
+        bs[keys] = True
     return KeyBits(bs)
 
 
