@@ -173,6 +173,8 @@ def run_bench() -> dict:
 
     manifest = None
     idx_dir = f"/tmp/mlr_bench/index_{n_docs}_{NUM_CPUS}"
+    bench_t0 = time.time()
+    rep_at: list[float] = []  # per-rep start offsets: interleaving evidence
 
     def timed_build(dest: str = "") -> None:
         # later reps build into a scratch dir: the searcher's actors read
@@ -183,6 +185,7 @@ def run_bench() -> dict:
         probe_ms.append(noise_probe())
         idx = dest or f"/tmp/mlr_bench/scratch_{n_docs}_{NUM_CPUS}"
         shutil.rmtree(idx, ignore_errors=True)
+        rep_at.append(round(time.time() - bench_t0, 3))
         t0 = time.time()
         m = build_index(corpus_dir, idx, cfg, target_docs_per_segment=target)
         build_runs.append(round(time.time() - t0, 3))
@@ -252,8 +255,29 @@ def run_bench() -> dict:
 
     while len(build_runs) < build_reps_total:
         timed_build()
+        if len(build_runs) < build_reps_total:
+            # spacer between leftover reps (SKIP_ENTRIES mode with >3 reps
+            # would otherwise run them back-to-back — the adjacency the
+            # interleaving exists to avoid): one sequential query-set pass
+            for q in asts:
+                searcher.execute(q, stop=10)
     build_sec = min(build_runs)
     files_per_sec = n_docs / build_sec
+
+    # Probe-gated selection: the best rep among reps whose noise probes read
+    # QUIET (quiet floors on this VM: fault ~3-6ms / degraded 150-6000ms,
+    # bw8 ~6-8ms / degraded 30-600ms).  Host-contention bursts inflate a
+    # rep's wall time without showing up in guest steal; the probes make a
+    # degraded rep visible per-rep, so the scaling ratio can pair quiet
+    # observations first-class instead of post-hoc window-matching.
+    fault_max = float(os.environ.get("MLR_PROBE_FAULT_MAX_MS", "50"))
+    bw8_max = float(os.environ.get("MLR_PROBE_BW8_MAX_MS", "25"))
+    quiet_runs = [
+        s
+        for s, f, b in zip(build_runs, probe_fault_ms, probe_bw8_ms)
+        if f <= fault_max and b <= bw8_max
+    ]
+    quiet_sec = min(quiet_runs) if quiet_runs else None
     queries = {"index_build": round(build_sec, 3), "bm25_query_set": round(query_sec, 3)}
     queries.update(entry_times)
     total = sum(queries.values())
@@ -269,6 +293,12 @@ def run_bench() -> dict:
             "sec": round(build_sec, 3),
             "files_per_sec": round(files_per_sec, 1),
             "runs_sec": build_runs,  # per-run spread → steal-noise evidence
+            "rep_at_sec": rep_at,  # per-rep start offsets (interleaving proof)
+            "quiet_sec": quiet_sec,  # best rep with quiet probes (None: none)
+            "quiet_files_per_sec": (
+                round(n_docs / quiet_sec, 1) if quiet_sec else None
+            ),
+            "quiet_reps": len(quiet_runs),
             "probe_ms": probe_ms,  # per-rep 1-core CPU probe (~200ms quiet)
             "probe_bw_ms": probe_bw_ms,  # warm 128MB memcpy (~15-40ms quiet)
             "probe_fault_ms": probe_fault_ms,  # fresh 16MB alloc+touch (~5ms quiet)
@@ -323,10 +353,22 @@ def run_scaling() -> None:
         hi_runs.append(run(hi_n))
 
     def best(runs):
+        quiet = [
+            r["build"]["quiet_files_per_sec"]
+            for r in runs
+            if r["build"].get("quiet_files_per_sec")
+        ]
         return {
             "value": min(r["value"] for r in runs),
             "build": {
                 "files_per_sec": max(r["build"]["files_per_sec"] for r in runs),
+                # probe-gated: best rep whose fault/bw8 probes read quiet —
+                # None when the host granted no quiet rep in any run
+                "quiet_files_per_sec": max(quiet) if quiet else None,
+                "quiet_reps": sum(r["build"].get("quiet_reps", 0) for r in runs),
+                "rep_at_sec": [
+                    r["build"].get("rep_at_sec", []) for r in runs
+                ],
                 # per-run spread (each entry is already a best-of-N build):
                 # wide spread = host steal during that leg, see BASELINE.md
                 "spread": [r["build"]["files_per_sec"] for r in runs],
@@ -353,6 +395,11 @@ def run_scaling() -> None:
     tp_hi = hi["build"]["files_per_sec"]
     ratio = hi_n / lo_n
     eff_build = (tp_hi / tp_lo) / ratio
+    # first-class probe-gated build efficiency: both legs' best QUIET reps
+    # (the defensible pairing — raw best-of-leg can pair a quiet hi leg with
+    # a degraded lo leg and report nonsense in either direction)
+    q_lo, q_hi = lo["build"]["quiet_files_per_sec"], hi["build"]["quiet_files_per_sec"]
+    eff_build_quiet = round((q_hi / q_lo) / ratio, 3) if q_lo and q_hi else None
     eff_query = (hi["query"]["qps"] / lo["query"]["qps"]) / ratio
     eff_total = (lo["value"] / hi["value"]) / ratio
     print(
@@ -379,6 +426,13 @@ def run_scaling() -> None:
                 "qps_spread_lo": lo["query"]["spread"],
                 "qps_spread_hi": hi["query"]["spread"],
                 "scaling_efficiency_build": round(eff_build, 3),
+                "scaling_efficiency_build_quiet": eff_build_quiet,
+                "build_quiet_files_per_sec_lo": q_lo,
+                "build_quiet_files_per_sec_hi": q_hi,
+                "build_quiet_reps_lo": lo["build"]["quiet_reps"],
+                "build_quiet_reps_hi": hi["build"]["quiet_reps"],
+                "build_rep_at_sec_lo": lo["build"]["rep_at_sec"],
+                "build_rep_at_sec_hi": hi["build"]["rep_at_sec"],
                 "scaling_efficiency_query": round(eff_query, 3),
                 "scaling_efficiency_total": round(eff_total, 3),
             }

@@ -73,7 +73,16 @@ def benchmark_shingle_set(ds, text_col: str = "text", shingle_n: int = 5) -> np.
         hv, _sc = mh._shingle_hashes(strip_meta(batch))
         return pa.table({"h": pa.array(np.unique(hv).astype(np.int64))})
 
-    parts = ds.map_batches(hashes, batch_format="pyarrow").take_all()
+    from .dedup import _snap_nonempty
+
+    # snap the INPUT: a filtered benchmark view carries zero-row blocks
+    # whose empty schema (Ray 2.49) skips the UDF and mixes schema-less
+    # bundles into the hashes stream (RefBundle warning at the consumer);
+    # the benchmark suite is the SMALL side, so the barrier costs nothing
+    snapped = _snap_nonempty(
+        ds, pa.table({text_col: pa.array([], type=pa.string())})
+    )
+    parts = snapped.map_batches(hashes, batch_format="pyarrow").take_all()
     if not parts:
         return np.empty(0, dtype=np.uint64)
     return np.unique(np.asarray([r["h"] for r in parts], dtype=np.int64).astype(np.uint64))
@@ -274,7 +283,22 @@ def seqpack_windows(
             }
         )
 
-    return counts_ds.groupby("part").map_groups(pack, batch_format="pyarrow")
+    from .dedup import _snap_nonempty
+
+    # snap: empty sort partitions skip the UDF and emit zero-column blocks
+    # (Ray 2.49) that a downstream groupby/aggregate head warns about
+    # ("RefBundle with a different schema") — the triples are tiny, so the
+    # materialize barrier costs nothing
+    return _snap_nonempty(
+        counts_ds.groupby("part").map_groups(pack, batch_format="pyarrow"),
+        pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "window": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
 
 
 # ---- token-window chunking --------------------------------------------------

@@ -1291,17 +1291,17 @@ class IndexSearcher:
         col: str,
         path: Sequence[str] = (),
         limit: int = 100,
-        order: str = "count",
+        order: str = "taxonomy",
     ) -> list[str]:
         """Taxonomy children listing (drilldownFieldnames, Lucene.java:692-713):
         the distinct child values one level below ``path`` in a hierarchical
-        facet column.  ``order='taxonomy'`` matches the reference exactly —
-        TaxonomyReader.getChildren walks children in insertion order, i.e.
-        the order labels were first seen while indexing (first-occurrence
-        docid here, which is globally ingestion-monotone; deleted docs keep
-        their labels, as a Lucene taxonomy never shrinks).  The default
-        ``order='count'`` keeps this engine's most-frequent-first facet
-        convention."""
+        facet column.  The default ``order='taxonomy'`` matches the
+        reference exactly — TaxonomyReader.getChildren walks children in
+        insertion order, i.e. the order labels were first seen while
+        indexing (first-occurrence docid here, which is globally
+        ingestion-monotone; deleted docs keep their labels, as a Lucene
+        taxonomy never shrinks).  ``order='count'`` opts into this engine's
+        most-frequent-first facet convention."""
         if order == "taxonomy":
             import ray
 

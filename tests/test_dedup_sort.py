@@ -125,7 +125,9 @@ def test_drilldown_fieldnames_taxonomy_order(ray_session, tmp_path):
     s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
 
     assert s.drilldown_fieldnames("cat", ["r"], order="taxonomy") == ["zeta", "alpha", "mid"]
-    # count order differs (alpha has 3 occurrences)
+    # taxonomy order IS the default (the reference's only behavior)
+    assert s.drilldown_fieldnames("cat", ["r"]) == ["zeta", "alpha", "mid"]
+    # count order differs (alpha has 3 occurrences) — opt-in
     assert s.drilldown_fieldnames("cat", ["r"], order="count")[0] == "alpha"
     assert s.drilldown_fieldnames("cat", order="taxonomy") == ["r"]
     # limit applies after ordering
