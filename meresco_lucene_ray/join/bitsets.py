@@ -265,16 +265,23 @@ def broadcast_lookup_join(ds, key_col: str, mapping, out_col: str, default=None)
 
     class Attach:
         def __init__(self):
-            self.keys, self.vals = ray.get(ref)
+            keys, vals = ray.get(ref)
+            self.keys = keys
+            self.vals = pa.array(vals)  # Arrow once per actor; take() below
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(self.keys, keys)
-            ok = pos < self.keys.size
-            if ok.any():
-                ok[ok] = self.keys[pos[ok]] == keys[ok]
-            out = np.full(len(batch), default, dtype=object)
-            out[ok] = self.vals[pos[ok]]
-            return strip_meta(batch).append_column(out_col, pa.array(out.tolist()))
+            pos = np.minimum(np.searchsorted(self.keys, keys), max(self.keys.size - 1, 0))
+            ok = (
+                self.keys[pos] == keys
+                if self.keys.size
+                else np.zeros(len(batch), dtype=bool)
+            )
+            # null-masked take instead of a Python object array per batch
+            idx = pa.array(pos, mask=~ok, type=pa.int64())
+            col = pc.take(self.vals, idx) if self.keys.size else pa.nulls(len(batch))
+            if default is not None:
+                col = pc.fill_null(col, default)
+            return strip_meta(batch).append_column(out_col, col)
 
     return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 8))
