@@ -799,69 +799,104 @@ class IndexSearcher:
                 )
             return (*out, facet_parts_by_actor)
         parts = ray.get(refs)
-        df = pa.concat_tables(parts, promote_options="default").to_pandas()
-        self.last_dedup_driver_rows = len(df)
-        if df.empty:
+        tbl = pa.concat_tables(parts, promote_options="default")
+        self.last_dedup_driver_rows = len(tbl)
+        if len(tbl) == 0:
             return self._empty_dedup_page(dedup_field, cols), 0, 0, facet_parts_by_actor
-        total_with_dups = int(df["cnt"].sum())
-        g = self._merge_group_partials(df)
+        total_with_dups = int(pc.sum(tbl["cnt"]).as_py())
+        g = self._merge_group_partials(tbl)
         if field_sort:
             # rank groups by the REPRESENTATIVES' sort fields — the winning
             # partial row carried the representative's values (sv_ columns)
             g = self._order_groups_by_fields(g, field_sort, sort_cols)
         else:
-            g = g.sort_values(["max_score", "rank_docid"], ascending=[False, True])
+            g = g.take(
+                pc.sort_indices(
+                    g.select(["max_score", "rank_docid"]),
+                    sort_keys=[("max_score", "descending"), ("rank_docid", "ascending")],
+                )
+            )
         total = len(g)
-        page = self._dedup_page_table(g.iloc[start:stop], dedup_field, cols)
+        page = self._dedup_page_table(
+            g.slice(start, max(0, stop - start)), dedup_field, cols
+        )
         return page, total, total_with_dups, facet_parts_by_actor
 
-    def _order_groups_by_fields(self, g, field_sort, sort_cols):
-        """Order merged group rows (one per key, pandas) by the
-        representatives' sort fields with `_merge_hits` fill semantics; the
-        sort values live in the rows' ``sv_<col>`` columns."""
-        merged = pa.Table.from_pandas(g, preserve_index=False)
+    def _order_groups_by_fields(self, g: pa.Table, field_sort, sort_cols) -> pa.Table:
+        """Order merged group rows (one per key) by the representatives'
+        sort fields with `_merge_hits` fill semantics; the sort values live
+        in the rows' ``sv_<col>`` columns.  Arrow in/out."""
         key_tbl, sort_keys = _sort_key_columns(
-            merged,
+            g,
             field_sort,
             docid_col="repr_docid",
             col_map={c: f"sv_{c}" for c in sort_cols},
         )
-        idx = pc.sort_indices(key_tbl, sort_keys=sort_keys)
-        return merged.take(idx).to_pandas()
+        return g.take(pc.sort_indices(key_tbl, sort_keys=sort_keys))
 
     @staticmethod
-    def _merge_group_partials(df):
+    def _merge_group_partials(t: pa.Table) -> pa.Table:
         """Merge per-segment per-key partial rows into one row per key:
         group rank = (max score, min docid), representative = (max
         dedup-sort value, min docid), count = sum.  Any ``sv_`` columns
         (the local representatives' sort-field values) ride along on the
-        winning representative row — the global representative's values."""
-        rank = (
-            df.sort_values(["key", "max_score", "rank_docid"], ascending=[True, False, True])
-            .drop_duplicates("key", keep="first")[["key", "max_score", "rank_docid"]]
-        )
-        rep_cols = ["key", "repr_docid"] + [c for c in df.columns if c.startswith("sv_")]
-        rep = (
-            df.sort_values(["key", "best_sort", "repr_docid"], ascending=[True, False, True])
-            .drop_duplicates("key", keep="first")[rep_cols]
-        )
-        cnt = df.groupby("key", sort=False)["cnt"].sum().reset_index()
-        return rank.merge(rep, on="key").merge(cnt, on="key")
+        winning representative row — the global representative's values.
+
+        Pure Arrow: three key-ascending passes (two sorts + one grouped
+        sum) each yield exactly one row per key IN KEY ORDER, so the merged
+        table is a column zip — no join, no pandas (the former
+        sort_values/drop_duplicates/merge chain held the driver GIL for the
+        whole ≤500k-row gated payload under concurrent clients)."""
+
+        def winner(val_col, doc_col, cols):
+            # NaN best_sort (a null sort value poisons np.maximum.at) must
+            # rank WORST on the descending value — Arrow sorts NaN first on
+            # descending (pandas sorted it last), so map NaN → -inf
+            val = t[val_col]
+            if pa.types.is_floating(val.type):
+                val = pc.if_else(pc.is_nan(val), pa.scalar(float("-inf")), val)
+            keyed = pa.table({"key": t["key"], "v": val, "d": t[doc_col]})
+            idx = pc.sort_indices(
+                keyed,
+                sort_keys=[("key", "ascending"), ("v", "descending"), ("d", "ascending")],
+            )
+            s = t.take(idx)
+            keys = s["key"].to_numpy(zero_copy_only=False)
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = keys[1:] != keys[:-1]
+            return s.take(pa.array(np.flatnonzero(first))).select(cols)
+
+        rank = winner("max_score", "rank_docid", ["key", "max_score", "rank_docid"])
+        sv_cols = [c for c in t.column_names if c.startswith("sv_")]
+        rep = winner("best_sort", "repr_docid", ["key", "repr_docid", *sv_cols])
+        cnt = t.group_by("key").aggregate([("cnt", "sum")])
+        cnt = cnt.take(pc.sort_indices(cnt, sort_keys=[("key", "ascending")]))
+        out = {
+            "key": rank["key"],
+            "max_score": rank["max_score"],
+            "rank_docid": rank["rank_docid"],
+            "repr_docid": rep["repr_docid"],
+        }
+        for c in sv_cols:
+            out[c] = rep[c]
+        out["cnt"] = cnt["cnt_sum"]
+        return pa.table(out)
 
     def _empty_dedup_page(self, dedup_field, cols) -> pa.Table:
         """Zero-row dedup page with the SAME shape every path produces
-        (dedup_field, score, duplicateCount, docid, __id__) — paging past
-        the last group or matching nothing must not change the hits schema
-        between the driver and distributed merges."""
-        import pandas as pd
-
-        g = pd.DataFrame(
+        (dedup_field, score, duplicateCount, docid, __id__, requested
+        stored fields with doc-table dtypes) — paging past the last group
+        or matching nothing must not change the hits schema between the
+        driver and distributed merges.  ``key`` stays the null type (the
+        empty page cannot know the dedup key's dtype), as the former
+        pandas-object-empty path produced."""
+        g = pa.table(
             {
-                "key": pd.Series([], dtype=object),
-                "max_score": pd.Series([], dtype=float),
-                "cnt": pd.Series([], dtype="int64"),
-                "rank_docid": pd.Series([], dtype="int64"),
-                "repr_docid": pd.Series([], dtype="int64"),
+                "key": pa.array([], type=pa.null()),
+                "max_score": pa.array([], type=pa.float64()),
+                "cnt": pa.array([], type=pa.int64()),
+                "rank_docid": pa.array([], type=pa.int64()),
+                "repr_docid": pa.array([], type=pa.int64()),
             }
         )
         return self._dedup_page_table(g, dedup_field, cols)
@@ -963,20 +998,47 @@ class IndexSearcher:
             )
 
         stats_rows, total, _spurious = self._dedup_block_totals(srt)
-        pulled = srt.map_batches(
-            block_candidates, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
-        self.last_dedup_driver_rows = len(pulled) + len(stats_rows)
-        cand = pulled.sort_values(
-            ["max_score", "rank_docid"], ascending=[False, True]
-        ).drop_duplicates("key", keep="first")
-        page_keys = cand.iloc[start:stop]["key"].tolist()
+        import ray
+
+        cand_tables = [
+            t
+            for t in ray.get(
+                srt.map_batches(
+                    block_candidates, batch_format="pyarrow", batch_size=None
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        pulled = (
+            pa.concat_tables(cand_tables, promote_options="default")
+            if cand_tables
+            else None
+        )
+        self.last_dedup_driver_rows = (pulled.num_rows if pulled is not None else 0) + len(stats_rows)
+        if pulled is None:
+            page_keys = []
+        else:
+            ranked = pulled.take(
+                pc.sort_indices(
+                    pulled.select(["max_score", "rank_docid"]),
+                    sort_keys=[("max_score", "descending"), ("rank_docid", "ascending")],
+                )
+            )
+            keys = ranked["key"].to_numpy(zero_copy_only=False)
+            _, first_idx = np.unique(keys, return_index=True)  # first = best-ranked
+            first_idx.sort()
+            page_keys = keys[first_idx][start:stop].tolist()
         return self._dedup_collect_page(
             ds,
             page_keys,
             dedup_field,
             cols,
-            lambda g: g.sort_values(["max_score", "rank_docid"], ascending=[False, True]),
+            lambda g: g.take(
+                pc.sort_indices(
+                    g.select(["max_score", "rank_docid"]),
+                    sort_keys=[("max_score", "descending"), ("rank_docid", "ascending")],
+                )
+            ),
             total,
             total_with_dups,
         )
@@ -1040,7 +1102,18 @@ class IndexSearcher:
         def filt(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["key"], value_set=key_set))
 
-        small = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+        import ray
+
+        tabs = [
+            t
+            for t in ray.get(
+                ds.map_batches(filt, batch_format="pyarrow").to_arrow_refs()
+            )
+            if t.num_rows and "key" in t.column_names
+        ]
+        if not tabs:  # page keys vanished (cannot happen; defensive)
+            return self._empty_dedup_page(dedup_field, cols), total, total_with_dups
+        small = pa.concat_tables(tabs, promote_options="default")
         g = order_groups(self._merge_group_partials(small))
         return self._dedup_page_table(g, dedup_field, cols), total, total_with_dups
 
