@@ -281,7 +281,16 @@ def broadcast_lookup_join(ds, key_col: str, mapping, out_col: str, default=None)
             idx = pa.array(pos, mask=~ok, type=pa.int64())
             col = pc.take(self.vals, idx) if self.keys.size else pa.nulls(len(batch))
             if default is not None:
-                col = pc.fill_null(col, default)
+                # default applies to UNMATCHED keys only — a matched key
+                # whose mapping value is null keeps its null (fill_null
+                # could not tell the two apart, and raises on the null-type
+                # column an empty/all-null mapping produces)
+                if pa.types.is_null(col.type):
+                    col = pa.array([default] * len(batch))
+                else:
+                    col = pc.if_else(
+                        pa.array(ok), col, pa.scalar(default, type=col.type)
+                    )
             return strip_meta(batch).append_column(out_col, col)
 
     return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 8))

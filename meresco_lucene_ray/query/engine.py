@@ -846,7 +846,20 @@ class IndexSearcher:
         sum) each yield exactly one row per key IN KEY ORDER, so the merged
         table is a column zip — no join, no pandas (the former
         sort_values/drop_duplicates/merge chain held the driver GIL for the
-        whole ≤500k-row gated payload under concurrent clients)."""
+        whole ≤500k-row gated payload under concurrent clients).
+
+        Null/NaN dedup keys (a numeric dedup field with missing values —
+        segment.col() yields NaN) never form a group, exactly as the former
+        pandas path behaved (its merge dropped NaN keys: NaN != NaN); they
+        are filtered up front — without this the numpy run-split would
+        count each NaN as its own run while group_by collapses them,
+        desynchronizing the column zip."""
+        key_col = t["key"]
+        valid = pc.is_valid(key_col)
+        if pa.types.is_floating(key_col.type):
+            valid = pc.and_(valid, pc.invert(pc.is_nan(key_col)))
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
 
         def winner(val_col, doc_col, cols):
             # NaN best_sort (a null sort value poisons np.maximum.at) must
@@ -913,11 +926,7 @@ class IndexSearcher:
         rows are aligned by a sorted-docid ``searchsorted`` gather instead
         of a pandas merge (the same pattern as the `_merge_hits` top-k
         merge — no to_pandas on the per-query path)."""
-        tbl = (
-            page
-            if isinstance(page, pa.Table)
-            else pa.Table.from_pandas(page, preserve_index=False)
-        )
+        tbl: pa.Table = page
         docids = tbl["repr_docid"].to_numpy(zero_copy_only=False).astype(np.int64)
         fetched = self.fetch(
             docids, ["__id__", *[c for c in cols if c != dedup_field]]

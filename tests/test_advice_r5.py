@@ -156,3 +156,36 @@ def test_field_sep_token_rejected():
     # the frozen built-in tokenizers can never emit it — same batch passes
     clean = TokenizeStage(cfg)
     assert len(clean(batch)) == 2
+
+
+def test_nan_dedup_keys_from_multiple_segments(ray_session, tmp_path):
+    """A NUMERIC dedup field with missing values yields NaN keys in the
+    per-segment partials (segment.col() -> float64 + NaN).  With NaN rows
+    from >=2 segments the Arrow merge must not desynchronize its column
+    zip (numpy run-split counts each NaN as its own run; group_by
+    collapses them) - NaN keys never form a group, as the former pandas
+    merge behaved."""
+    import ray.data as rd
+
+    n = 40
+    rows = {
+        "__id__": [f"d{i:02d}" for i in range(n)],
+        "text": ["hit " * (1 + i % 3) for i in range(n)],
+        # every 5th doc lacks the dedup key; present keys form 3 groups
+        "grpn": pa.array(
+            [None if i % 5 == 0 else (i % 3) for i in range(n)], type=pa.int64()
+        ),
+    }
+    d = str(tmp_path / "nankeys")
+    cfg = IndexConfig(
+        text_col="text", id_col="__id__", stored_cols=("grpn",), num_shards=4
+    )
+    build_index(rd.from_arrow(pa.table(rows)), d, cfg)
+    s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
+    res = s.execute(TermQ("hit"), stop=10, dedup_field="grpn")
+    assert res.total == 3  # NaN-key docs never form a group
+    # totalWithDuplicates still counts every matching doc (dense-path parity
+    # with the former pandas behavior: the cnt sum ran before the merge)
+    assert res.total_with_duplicates == n
+    keys = res.hits["grpn"].to_pylist()
+    assert sorted(int(k) for k in keys) == [0, 1, 2]

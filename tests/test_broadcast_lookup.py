@@ -59,3 +59,25 @@ def test_array_pair_path_arrow_chunked(ray_session):
         default="",
     )
     assert _result_map(out) == EXPECTED
+
+
+def test_empty_mapping_with_default(ray_session):
+    """An empty broadcast side (the J6 small side matched zero rows) must
+    yield the default for every row, not crash on the null-type column."""
+    out = broadcast_lookup_join(_orders_ds(), "o_custkey", {}, "c_name", default="")
+    assert _result_map(out) == {10: "", 11: "", 12: "", 13: ""}
+
+
+def test_matched_null_value_keeps_null(ray_session):
+    """default applies to UNMATCHED keys only — a key whose mapping value
+    is legitimately null keeps its null (the object-array semantics)."""
+    keys = np.array([1, 2], dtype=np.int64)
+    vals = np.array(["alice", None], dtype=object)
+    out = broadcast_lookup_join(
+        _orders_ds(), "o_custkey", (keys, vals), "c_name", default="unknown"
+    )
+    m = _result_map(out)
+    assert m[11] == "alice"
+    assert m[12] == "unknown"          # unmatched -> default
+    assert m[10] is None or (m[10] != m[10])  # matched null stays null
+    assert m[13] is None or (m[13] != m[13])
