@@ -109,6 +109,23 @@ def _first_per_key(t: pa.Table) -> pa.Table:
     return t.take(pa.array(np.flatnonzero(first)))
 
 
+def _drop_invalid_keys(t: pa.Table) -> pa.Table:
+    """Drop partial rows whose dedup key is null/NaN (a numeric dedup field
+    with missing values) BEFORE the distributed merge — keyless docs never
+    form a group on any path (`_merge_group_partials` filters them on the
+    driver path; without this the per-block run counts would tally each
+    segment's NaN run as a distinct group and `total` would diverge).
+    They still count toward totalWithDuplicates, which sums `cnt` upstream
+    of this filter."""
+    key_col = t["key"]
+    valid = pc.is_valid(key_col)
+    if pa.types.is_floating(key_col.type):
+        valid = pc.and_(valid, pc.invert(pc.is_nan(key_col)))
+    if bool(pc.all(valid).as_py() or len(t) == 0):
+        return t
+    return t.filter(valid)
+
+
 _num_rows_task = None
 
 
@@ -990,9 +1007,11 @@ class IndexSearcher:
             return self._empty_dedup_page(dedup_field, cols), 0, 0
         ds = rd.from_arrow_refs(live)
         total_with_dups = int(ds.sum("cnt") or 0)
-        srt = ds.sort(
-            ["key", "max_score", "rank_docid"], descending=[False, True, False]
-        ).materialize()
+        srt = (
+            ds.map_batches(_drop_invalid_keys, batch_format="pyarrow")
+            .sort(["key", "max_score", "rank_docid"], descending=[False, True, False])
+            .materialize()
+        )
         k = max(stop, 1)
 
         def block_candidates(t: pa.Table) -> pa.Table:
@@ -1169,9 +1188,11 @@ class IndexSearcher:
             return self._empty_dedup_page(dedup_field, cols), 0, 0
         ds = rd.from_arrow_refs(live)
         total_with_dups = int(ds.sum("cnt") or 0)
-        srt = ds.sort(
-            ["key", "best_sort", "repr_docid"], descending=[False, True, False]
-        ).materialize()
+        srt = (
+            ds.map_batches(_drop_invalid_keys, batch_format="pyarrow")
+            .sort(["key", "best_sort", "repr_docid"], descending=[False, True, False])
+            .materialize()
+        )
         k = max(stop, 1) + 1  # +1: room for the one possible spurious row
         sort_cols = tuple(c for c, _, _ in field_sort)
         col_map = {c: f"sv_{c}" for c in sort_cols}

@@ -182,10 +182,22 @@ def test_nan_dedup_keys_from_multiple_segments(ray_session, tmp_path):
     )
     build_index(rd.from_arrow(pa.table(rows)), d, cfg)
     s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
-    res = s.execute(TermQ("hit"), stop=10, dedup_field="grpn")
-    assert res.total == 3  # NaN-key docs never form a group
-    # totalWithDuplicates still counts every matching doc (dense-path parity
-    # with the former pandas behavior: the cnt sum ran before the merge)
-    assert res.total_with_duplicates == n
-    keys = res.hits["grpn"].to_pylist()
-    assert sorted(int(k) for k in keys) == [0, 1, 2]
+    for gate, mode in [(500_000, "driver"), (0, "distributed")]:
+        s.dedup_driver_max_rows = gate
+        res = s.execute(TermQ("hit"), stop=10, dedup_field="grpn")
+        assert s.last_dedup_path == mode
+        assert res.total == 3, mode  # NaN-key docs never form a group
+        # totalWithDuplicates still counts every matching doc (the cnt sum
+        # runs upstream of the key filter on both paths)
+        assert res.total_with_duplicates == n, mode
+        keys = res.hits["grpn"].to_pylist()
+        assert sorted(int(k) for k in keys) == [0, 1, 2], mode
+        # fieldsort mode agrees too
+        res2 = s.execute(
+            TermQ("hit"),
+            stop=10,
+            dedup_field="grpn",
+            sort=[("grpn", False, None)],
+            stored_fields=("grpn",),
+        )
+        assert res2.total == 3 and len(res2.hits) == 3, mode
