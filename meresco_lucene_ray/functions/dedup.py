@@ -396,6 +396,120 @@ class _ShingleSetStage:
         )
 
 
+def _segment_jaccard(
+    va_flat: np.ndarray, na: np.ndarray, vb_flat: np.ndarray, nb: np.ndarray
+) -> np.ndarray:
+    """Jaccard per pair from per-pair-concatenated sorted-unique u64 value
+    segments: each row's hashes are UNIQUE within the row (set semantics from
+    :class:`_ShingleSetStage`), so |A∩B| = count of duplicate values inside
+    one pair after a global (pair_id, value) lexsort — no per-pair Python."""
+    n_pairs = na.size
+    vals = np.concatenate([va_flat, vb_flat])
+    pids = np.concatenate(
+        [np.repeat(np.arange(n_pairs), na), np.repeat(np.arange(n_pairs), nb)]
+    )
+    order = np.lexsort((vals, pids))
+    sv, sp = vals[order], pids[order]
+    dup = np.zeros(sv.size, dtype=bool)
+    dup[1:] = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    inter = np.bincount(sp[dup], minlength=n_pairs).astype(np.int64)
+    return inter / np.maximum(1, na + nb - inter)
+
+
+def _take_ranges(flat: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Gather ``flat[starts[i] : starts[i]+counts[i]]`` for every i into one
+    concatenated array — the vectorized segment gather (no Python loop)."""
+    total = int(counts.sum())
+    if total == 0:
+        return flat[:0]
+    out_starts = np.cumsum(counts) - counts
+    idx = np.repeat(starts - out_starts, counts) + np.arange(total)
+    return flat[idx]
+
+
+def _gather_sig_payload(*tables):
+    """Assemble the broadcast shingle-signature payload inside a Ray task:
+    (sorted doc ids, per-doc segment starts/counts, one flat u64 value
+    array).  Runs off-driver; the result lives in the object store and is
+    read zero-copy by every verify task (one copy per node on a cluster)."""
+    from .hashing import _string_view
+
+    t = pa.concat_tables(
+        [tb.select(["__sid__", "shingle_hashes"]) for tb in tables],
+        promote_options="default",
+    )
+    sid = t["__sid__"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sid, kind="stable")
+    blobs = t["shingle_hashes"].combine_chunks().take(pa.array(order))
+    off, data = _string_view(blobs)
+    vals = data[off[0] : off[-1]].view("<u8").astype(np.uint64, copy=False)
+    counts = (np.diff(off) // 8).astype(np.int64)
+    starts = np.cumsum(counts) - counts
+    return {
+        "sid": sid[order],
+        "vals": np.ascontiguousarray(vals),
+        "starts": starts,
+        "counts": counts,
+    }
+
+
+_SIG_GATHER_REMOTE = None  # decorated once per process, not re-exported per query
+
+
+class _PairVerifyStage:
+    """map_batches stage for the broadcast-sigs verify path: look both sides
+    of each (id_a, id_b) pair up in the broadcast signature payload and run
+    the shared segment-Jaccard kernel.  Pairs whose id is absent from the
+    signatures are dropped (inner-join semantics, matching the join path)."""
+
+    def __init__(self, payload_ref, threshold: float):
+        import ray
+
+        p = ray.get(payload_ref)  # zero-copy numpy views into the object store
+        self.sid = p["sid"]
+        self.vals = p["vals"]
+        self.starts = p["starts"]
+        self.counts = p["counts"]
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(t) == 0 or self.sid.size == 0:
+            return empty
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        pos_a = np.searchsorted(self.sid, a)
+        pos_b = np.searchsorted(self.sid, b)
+        last = self.sid.size - 1
+        ok = (
+            (pos_a < self.sid.size)
+            & (pos_b < self.sid.size)
+            & (self.sid[np.minimum(pos_a, last)] == a)
+            & (self.sid[np.minimum(pos_b, last)] == b)
+        )
+        a, b, pos_a, pos_b = a[ok], b[ok], pos_a[ok], pos_b[ok]
+        if a.size == 0:
+            return empty
+        na, nb = self.counts[pos_a], self.counts[pos_b]
+        va = _take_ranges(self.vals, self.starts[pos_a], na)
+        vb = _take_ranges(self.vals, self.starts[pos_b], nb)
+        jac = _segment_jaccard(va, na, vb, nb)
+        keep = jac >= self.threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+
 def verify_neardup_pairs(
     ds, buckets, text_col="text", id_col="doc_id", n=3, threshold=0.8
 ):
@@ -518,29 +632,17 @@ def verify_neardup_pairs(
             sa = sa.combine_chunks()
         if isinstance(sb, pa.ChunkedArray):
             sb = sb.combine_chunks()
-        # vectorized pairwise set-intersection over the blob payloads: each
-        # row's hashes are UNIQUE within the row (set semantics from
-        # _ShingleSetStage), so |A∩B| = count of duplicate values inside one
-        # pair after a global (pair_id, value) lexsort — no per-pair Python
+        # vectorized pairwise set-intersection over the blob payloads via the
+        # shared segment-Jaccard kernel
         from .hashing import _string_view
 
-        n_pairs = len(t)
         oa, da = _string_view(sa)
         ob, db = _string_view(sb)
         va = da[oa[0] : oa[-1]].view("<u8")
         vb = db[ob[0] : ob[-1]].view("<u8")
         na = (np.diff(oa) // 8).astype(np.int64)
         nb = (np.diff(ob) // 8).astype(np.int64)
-        vals = np.concatenate([va, vb])
-        pids = np.concatenate(
-            [np.repeat(np.arange(n_pairs), na), np.repeat(np.arange(n_pairs), nb)]
-        )
-        order = np.lexsort((vals, pids))
-        sv, sp = vals[order], pids[order]
-        dup = np.zeros(sv.size, dtype=bool)
-        dup[1:] = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
-        inter = np.bincount(sp[dup], minlength=n_pairs).astype(np.int64)
-        jac = inter / np.maximum(1, na + nb - inter)
+        jac = _segment_jaccard(va, na, vb, nb)
         keep = jac >= threshold
         idx = pa.array(np.flatnonzero(keep))
         return pa.table(
@@ -563,8 +665,20 @@ def verify_neardup_pairs(
     # pure all-to-all overhead — stream the (already involved-only) sig rows
     # in, gather the pairs, and run the SAME vectorized verify kernel once.
     # Driver memory is O(pairs × avg shingle-blob), bounded by the gate.
+    # The gate is on estimated verify WORK (pairs × both sides' avg shingle
+    # values — the lexsort input size), not bare pair count: 200k pairs of
+    # long docs is ~10s of single-thread kernel time that the distributed
+    # path spreads across the cluster.
     driver_max = int(os.environ.get("MLR_NEARDUP_DRIVER_MAX", 200_000))
+    driver_values_max = int(
+        os.environ.get("MLR_NEARDUP_DRIVER_VALUES_MAX", 16_000_000)
+    )
+    est_values = None
     if involved_ref is not None and n_pairs <= driver_max:
+        n_sigs = sigs.count()
+        avg_vals = (sigs.size_bytes() / max(1, n_sigs)) / 8.0  # blob-dominated
+        est_values = n_pairs * 2.0 * avg_vals
+    if est_values is not None and est_values <= driver_values_max:
         import ray.data as rd
 
         sig_parts = list(sigs.iter_batches(batch_format="pyarrow", batch_size=8192))
@@ -605,24 +719,69 @@ def verify_neardup_pairs(
         )
         return rd.from_arrow(verify(t))
 
-    # distributed path: join partition count scales with the pair set
-    num_partitions = max(4, min(256, n_pairs // 1_000_000 + 4))
-    joined = pair_ds.join(
-        sigs.map_batches(_as_a, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("id_a",),
-    ).join(
-        sigs.map_batches(_as_b, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("id_b",),
-    )
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # pragma: no cover - resources unavailable mid-shutdown
+        ncpu = 4
+
+    # Broadcast-sigs verify: when the involved docs' signature payload fits
+    # the gate, ship it ONCE (object store; one copy per node) and verify
+    # pairs in embarrassingly-parallel map_batches — no blob shuffle at all.
+    # The two chained hash joins cost several seconds of exchange latency
+    # that this path skips entirely; past the gate the joins remain the
+    # scale path (pairs and signatures both unbounded at 100 TB).
+    bcast_sigs_max = int(os.environ.get("MLR_NEARDUP_BCAST_SIGS_MAX", 268_435_456))
+    if involved_ref is not None and sigs.size_bytes() <= bcast_sigs_max:
+        global _SIG_GATHER_REMOTE
+        if _SIG_GATHER_REMOTE is None:
+            _SIG_GATHER_REMOTE = ray.remote(num_cpus=1)(_gather_sig_payload)
+        sig_refs = sigs.to_arrow_refs()  # sigs is materialized (contract above)
+        payload_ref = _SIG_GATHER_REMOTE.remote(*sig_refs)
+
+        def pair_verify(t: pa.Table) -> pa.Table:
+            return cached_stage(_PairVerifyStage, payload_ref, threshold)(t)
+
+        # the pairs are already on the driver (``got``, gathered for the
+        # involved-id filter): global-distinct them HERE — a pair repeats
+        # across LSH bands (≈5× at 16 bands), and each duplicate would
+        # re-run the full intersection kernel.  O(pairs) int64 lexsort,
+        # bounded by the broadcast gate.
+        import ray.data as rd
+
+        a, b = got["id_a"], got["id_b"]
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.ones(a.size, dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[first], b[first]
+        nparts = max(1, min(1024, max(ncpu, a.size // 200_000)))
+        verified = (
+            rd.from_arrow(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+            .repartition(nparts)
+            .map_batches(pair_verify, batch_format="pyarrow")
+        )
+    else:
+        # join path: partition count scales with the pair set AND with the
+        # cluster — the fused join→verify task is compute-heavy (the
+        # per-pair intersection lexsort), so fewer partitions than cores
+        # leaves the cluster idle even when the pair set is small
+        num_partitions = max(4, min(1024, max(ncpu, n_pairs // 1_000_000 + 4)))
+        verified = pair_ds.join(
+            sigs.map_batches(_as_a, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_a",),
+        ).join(
+            sigs.map_batches(_as_b, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_b",),
+        ).map_batches(verify, batch_format="pyarrow")
 
     # global distinct on the small VERIFIED set: coalesce to one block, drop
     # cross-band duplicates (identical jaccard by construction)
     return (
-        joined.map_batches(verify, batch_format="pyarrow")
+        verified
         .repartition(1)
         .map_batches(distinct_pairs, batch_format="pyarrow", batch_size=None)
     )

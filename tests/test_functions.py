@@ -245,6 +245,13 @@ def test_neardup_driver_and_distributed_verify_agree(ray_session, monkeypatch):
     monkeypatch.setenv("MLR_NEARDUP_DRIVER_MAX", "1000000")
     fast = run()
     assert fast  # the corpus above must actually produce near-dup pairs
+    # broadcast-sigs path: past the driver work gate, payload fits broadcast
+    monkeypatch.setenv("MLR_NEARDUP_DRIVER_VALUES_MAX", "0")
+    assert run() == fast
+    # join path with the involved-id pre-filter: past the sig-broadcast gate
+    monkeypatch.setenv("MLR_NEARDUP_BCAST_SIGS_MAX", "0")
+    assert run() == fast
+    # full-corpus join path: past every broadcast gate
     monkeypatch.setenv("MLR_NEARDUP_DRIVER_MAX", "0")
-    monkeypatch.setenv("MLR_NEARDUP_BROADCAST_MAX", "0")  # full-corpus sig path too
+    monkeypatch.setenv("MLR_NEARDUP_BROADCAST_MAX", "0")
     assert run() == fast
