@@ -172,26 +172,82 @@ def broadcast_anti(ds, key_col: str, keys_ref):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
-def broadcast_attach(ds, key_col: str, small_ref, value_cols: list[str]):
-    """Inner join against a broadcast small side: drop non-matching rows and
-    append the small side's ``value_cols`` via searchsorted gather.  The
-    small side is the dict from :func:`gather_small` (sorted by its key,
-    which must be the first gathered column).  Precondition: the small
-    side's keys are UNIQUE (dimension-table semantics); duplicate keys
-    would silently resolve to one arbitrary row."""
-    import ray
+class _AttachStage:
+    """Broadcast-attach worker state, built ONCE per worker process (via
+    ``cached_stage``): the payload's key column and value columns converted
+    to Arrow arrays so every batch probes with ``pc.index_in`` — a C++ hash
+    lookup that is equally fast for int64 and string keys (the former
+    per-batch ``np.searchsorted`` fell back to Python object comparisons on
+    string keys)."""
 
-    def stage(t: pa.Table) -> pa.Table:
+    def __init__(self, small_ref, key_col: str, value_cols: tuple, out_cols: tuple):
+        import ray
+
         small = ray.get(small_ref)
-        skeys = small[key_col]
-        keys = t[key_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(skeys, keys)
-        pos_c = np.minimum(pos, len(skeys) - 1) if len(skeys) else pos
-        hit = (skeys[pos_c] == keys) if len(skeys) else np.zeros(len(keys), bool)
-        idx = np.flatnonzero(hit)
-        t = t.take(pa.array(idx))
-        for c in value_cols:
-            t = t.append_column(c, pa.array(small[c][pos_c[idx]]))
+        self.skeys = pa.array(small[key_col])
+        self.values = [pa.array(small[c]) for c in value_cols]
+        self.out_cols = out_cols
+
+    def __call__(self, t: pa.Table, probe_col: str) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = t[probe_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if len(self.skeys) == 0 or pa.types.is_null(self.skeys.type):
+            pos = pa.nulls(len(keys), type=pa.int32())
+        else:
+            if keys.type != self.skeys.type and not pa.types.is_null(keys.type):
+                keys = keys.cast(self.skeys.type)
+            pos = pc.index_in(keys, value_set=self.skeys)
+        valid = pc.is_valid(pos)
+        t = t.filter(valid)
+        posv = pos.filter(valid)
+        for out, vals in zip(self.out_cols, self.values):
+            t = t.append_column(out, vals.take(posv))
         return t
 
+
+def broadcast_attach(
+    ds, key_col: str, small_ref, value_cols: list[str], *, probe_col=None, out_cols=None
+):
+    """Inner join against a broadcast small side: drop non-matching rows and
+    append the small side's ``value_cols`` via a hash probe (``pc.index_in``)
+    against the broadcast payload (the dict from :func:`gather_small` /
+    :func:`gather_small_ref`).  Precondition: the small side's keys are
+    UNIQUE (dimension-table semantics); duplicate keys would silently
+    resolve to one arbitrary row.
+
+    ``probe_col`` (default ``key_col``) names the column of ``ds`` to probe
+    with and ``out_cols`` (default ``value_cols``) the attached columns'
+    output names — so ONE broadcast payload can be probed twice under
+    different roles (e.g. a unigram table against both ``w1`` and ``w2``)."""
+    from .hashing import cached_stage
+
+    probe = probe_col or key_col
+    vc = tuple(value_cols)
+    oc = tuple(out_cols) if out_cols is not None else vc
+
+    def stage(t: pa.Table) -> pa.Table:
+        return cached_stage(_AttachStage, small_ref, key_col, vc, oc)(t, probe)
+
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def attach_small(rows, small, key_col: str, value_cols: list[str]):
+    """Size-gated inner attach of a small aggregate side onto a big rows
+    side: broadcast (one off-driver gather + per-batch hash probe, zero
+    shuffle) when the small side fits the gate, hash join past it.  The
+    default gate (5M rows ≈ 40-80 MB payload) holds one copy per node.
+    ``small`` must be materialized (``count()`` is then metadata and
+    ``gather_small_ref``'s to_arrow_refs contract holds)."""
+    gate = int(os.environ.get("MLR_ATTACH_BCAST_MAX", 5_000_000))
+    if small.count() <= gate:
+        ref = gather_small_ref(small, [key_col, *value_cols])
+        return broadcast_attach(rows, key_col, ref, value_cols)
+    return rows.join(
+        small,
+        join_type="inner",
+        num_partitions=partitions_for(rows, small),
+        on=(key_col,),
+    )

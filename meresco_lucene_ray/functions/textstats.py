@@ -8,6 +8,8 @@ dictionary is ever hashed or set-tested — zero Python per token.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -223,11 +225,9 @@ def common_shingle_frac(ds, text_col: str = "text", id_col: str = "doc_id", n: i
         rows.groupby("h").aggregate(Count(alias_name="df")),
         pa.table({"h": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}),
     )
-    from .joins import partitions_for
+    from .joins import attach_small
 
-    joined = rows.join(
-        dfreq, join_type="inner", num_partitions=partitions_for(rows, dfreq), on=("h",)
-    )
+    joined = attach_small(rows, dfreq, "h", ["df"])
 
     def mark(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -363,11 +363,9 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int =
         rows.groupby("term").aggregate(Count(alias_name="df")),
         pa.table({"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}),
     )
-    from .joins import partitions_for
+    from .joins import attach_small
 
-    joined = rows.join(
-        dfreq, join_type="inner", num_partitions=partitions_for(rows, dfreq), on=("term",)
-    )
+    joined = attach_small(rows, dfreq, "term", ["df"])
 
     def score(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -383,12 +381,22 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int =
     def final(t: pa.Table) -> pa.Table:
         return _topk_score_rows(t, id_col, k)
 
-    return (
+    cand = (
         joined.map_batches(score, batch_format="pyarrow")
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(id_col)
-        .map_groups(final, batch_format="pyarrow")
+        .materialize()
     )
+    # The map-side partial leaves ≤ k·docs·blocks candidate rows.  When that
+    # survivor set is small, ONE coalesced exact pass replaces the
+    # groupby(id) sort-shuffle (_topk_score_rows is per-id over the whole
+    # table, so the single pass IS the exact final); past the gate the
+    # shuffle is the scale path (k·docs rows is unbounded at 100 TB).
+    coalesce_gate = int(os.environ.get("MLR_TOPK_COALESCE_MAX", 2_000_000))
+    if cand.count() <= coalesce_gate:
+        return cand.repartition(1).map_batches(
+            final, batch_format="pyarrow", batch_size=None
+        )
+    return cand.groupby(id_col).map_groups(final, batch_format="pyarrow")
 
 
 def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -438,11 +446,9 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
                 }
             )
         )
-    from .joins import partitions_for
+    from .joins import attach_small
 
-    joined = rows.join(
-        cf, join_type="inner", num_partitions=partitions_for(rows, cf), on=("term",)
-    )
+    joined = attach_small(rows, cf, "term", ["cf"])
 
     def nll(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -620,41 +626,54 @@ def collocations_pmi(ds, text_col: str = "text", min_count: int = 25, top: int =
             )
         )
 
-    def as_u1(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["w1", "c1"])
+    from .joins import broadcast_attach, gather_small_ref, partitions_for
 
-    def as_u2(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["w2", "c2"])
+    bcast_gate = int(os.environ.get("MLR_ATTACH_BCAST_MAX", 5_000_000))
+    if uni.count() <= bcast_gate:
+        # ONE broadcast unigram payload, probed twice under different roles
+        # (w1→c1, w2→c2) — zero shuffle where the join path pays two
+        uni_ref = gather_small_ref(uni, ["w", "c"])
+        j1 = broadcast_attach(
+            supported, "w", uni_ref, ["c"], probe_col="w1", out_cols=["c1"]
+        )
+        joined = broadcast_attach(
+            j1, "w", uni_ref, ["c"], probe_col="w2", out_cols=["c2"]
+        )
+    else:
 
-    # snap between the chained joins: a zero-row join partition carries a
-    # ZERO-COLUMN block, and the second join's aggregator then fails with
-    # "No match ... FieldRef.Name(w2) on left side" (same Ray 2.49 issue
-    # _snap_nonempty exists for; bites whenever partitions outnumber rows)
-    from .joins import partitions_for
+        def as_u1(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["w1", "c1"])
 
-    np_join = partitions_for(supported, uni)
-    j1 = _snap_nonempty(
-        supported.join(
-            uni.map_batches(as_u1, batch_format="pyarrow"),
+        def as_u2(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["w2", "c2"])
+
+        # snap between the chained joins: a zero-row join partition carries a
+        # ZERO-COLUMN block, and the second join's aggregator then fails with
+        # "No match ... FieldRef.Name(w2) on left side" (same Ray 2.49 issue
+        # _snap_nonempty exists for; bites whenever partitions outnumber rows)
+        np_join = partitions_for(supported, uni)
+        j1 = _snap_nonempty(
+            supported.join(
+                uni.map_batches(as_u1, batch_format="pyarrow"),
+                join_type="inner",
+                num_partitions=np_join,
+                on=("w1",),
+            ),
+            pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "c1": pa.array([], type=pa.int64()),
+                }
+            ),
+        )
+        joined = j1.join(
+            uni.map_batches(as_u2, batch_format="pyarrow"),
             join_type="inner",
             num_partitions=np_join,
-            on=("w1",),
-        ),
-        pa.table(
-            {
-                "w1": pa.array([], type=pa.string()),
-                "w2": pa.array([], type=pa.string()),
-                "cnt": pa.array([], type=pa.int64()),
-                "c1": pa.array([], type=pa.int64()),
-            }
-        ),
-    )
-    joined = j1.join(
-        uni.map_batches(as_u2, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=np_join,
-        on=("w2",),
-    )
+            on=("w2",),
+        )
 
     def score(t: pa.Table) -> pa.Table:
         cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
