@@ -240,7 +240,12 @@ def attach_small(rows, small, key_col: str, value_cols: list[str]):
     shuffle) when the small side fits the gate, hash join past it.  The
     default gate (5M rows ≈ 40-80 MB payload) holds one copy per node.
     ``small`` must be materialized (``count()`` is then metadata and
-    ``gather_small_ref``'s to_arrow_refs contract holds)."""
+    ``gather_small_ref``'s to_arrow_refs contract holds); ``rows`` should
+    be too when the small side can exceed the gate — the join fallback's
+    ``partitions_for`` counts BOTH sides, and counting a lazy big side
+    would execute its upstream pipeline once just for the partition
+    count.  (Every textstats caller passes ``_snap_nonempty`` outputs,
+    which are materialized.)"""
     gate = int(os.environ.get("MLR_ATTACH_BCAST_MAX", 5_000_000))
     if small.count() <= gate:
         ref = gather_small_ref(small, [key_col, *value_cols])
