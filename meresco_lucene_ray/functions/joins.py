@@ -81,6 +81,20 @@ def _empty_payload(ds, columns: list[str]) -> dict[str, np.ndarray]:
     }
 
 
+def _null_safe_order(keys: np.ndarray) -> np.ndarray:
+    """Stable sort order with NULL keys last: np.argsort on an object array
+    containing None raises ('<' not supported between str and NoneType)."""
+    if keys.dtype == object:
+        import pandas as pd
+
+        return (
+            pd.Series(keys)
+            .sort_values(kind="stable", na_position="last")
+            .index.to_numpy(dtype=np.int64)
+        )
+    return np.argsort(keys, kind="stable")
+
+
 def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     """Collect a SMALL (already filtered/projected) Dataset's columns into
     numpy arrays, sorted by the first column — the broadcast payload.
@@ -93,14 +107,14 @@ def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     if not any(parts.values()):
         return _empty_payload(ds, columns)
     out = {c: np.concatenate(v) for c, v in parts.items()}
-    order = np.argsort(out[columns[0]], kind="stable")
+    order = _null_safe_order(out[columns[0]])
     return {c: v[order] for c, v in out.items()}
 
 
 def _gather_tables(cols, *tables):
     t = pa.concat_tables([tb.select(cols) for tb in tables], promote_options="default")
     out = {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
-    order = np.argsort(out[cols[0]], kind="stable")
+    order = _null_safe_order(out[cols[0]])
     return {c: v[order] for c, v in out.items()}
 
 
@@ -138,12 +152,38 @@ def _broadcast_keys(obj, key_col: str) -> np.ndarray:
     return obj[key_col] if isinstance(obj, dict) else obj
 
 
+def _nullable(arr: np.ndarray) -> bool:
+    return arr.dtype == object or arr.dtype.kind == "f"
+
+
 def _member_mask(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Membership of ``keys`` in the sorted payload, with SQL join semantics
+    for NULLs: a NULL key (None / NaN) matches nothing on either side.
+    np.searchsorted raises on object arrays containing None (and None==None
+    is elementwise True), so payload NAs are stripped (``_null_safe_order``
+    sorts them last) and probe NAs are sentinel-replaced then masked out."""
+    import pandas as pd
+
+    if len(sorted_keys) and _nullable(sorted_keys) and pd.isna(sorted_keys[-1]):
+        # NAs sort last (_null_safe_order / NaN), so the O(1) last-element
+        # check gates the O(payload) strip to the rare NA-bearing payload
+        sorted_keys = sorted_keys[~pd.isna(sorted_keys)]
+    if not len(sorted_keys):
+        return np.zeros(len(keys), bool)
+    na = None
+    if _nullable(keys):
+        na = pd.isna(keys)
+        if na.any():
+            keys = keys.copy()
+            keys[na] = sorted_keys[0]
+        else:
+            na = None
     pos = np.searchsorted(sorted_keys, keys)
-    pos_c = np.minimum(pos, len(sorted_keys) - 1) if len(sorted_keys) else pos
-    return (
-        (sorted_keys[pos_c] == keys) if len(sorted_keys) else np.zeros(len(keys), bool)
-    )
+    pos_c = np.minimum(pos, len(sorted_keys) - 1)
+    mask = sorted_keys[pos_c] == keys
+    if na is not None:
+        mask &= ~na
+    return mask
 
 
 def broadcast_semi(ds, key_col: str, keys_ref):
@@ -181,11 +221,30 @@ class _AttachStage:
     string keys)."""
 
     def __init__(self, small_ref, key_col: str, value_cols: tuple, out_cols: tuple):
+        import pyarrow.compute as pc
         import ray
 
         small = ray.get(small_ref)
-        self.skeys = pa.array(small[key_col])
-        self.values = [pa.array(small[c]) for c in value_cols]
+        skeys = pa.array(small[key_col])
+        values = [pa.array(small[c]) for c in value_cols]
+        # SQL inner-join semantics: NULL keys match nothing.  pc.index_in
+        # matches a null probe to a null in the value_set, so a null (or, on
+        # a nulls->float payload, NaN) key row in the small side would KEEP
+        # rows the hash-join fallback and the SQL oracle drop — filter them
+        # out of the payload once per worker.
+        if len(skeys) and not pa.types.is_null(skeys.type):
+            keep = pc.is_valid(skeys)
+            if pa.types.is_floating(skeys.type):
+                # and_kleene: False AND null -> False (is_nan is null on a
+                # null element; plain and_ would propagate the null into the
+                # mask and flatnonzero would see it as truthy NaN)
+                keep = pc.and_kleene(keep, pc.invert(pc.is_nan(skeys)))
+            if not pc.all(keep).as_py():
+                idx = pa.array(np.flatnonzero(keep.to_numpy(zero_copy_only=False)))
+                skeys = skeys.take(idx)
+                values = [v.take(idx) for v in values]
+        self.skeys = skeys
+        self.values = values
         self.out_cols = out_cols
 
     def __call__(self, t: pa.Table, probe_col: str) -> pa.Table:

@@ -92,6 +92,83 @@ def test_empty_small_side(ray_session):
     assert out.count() == 0
 
 
+def test_null_keys_never_match(ray_session, monkeypatch):
+    """SQL inner-join semantics across the gate: a NULL key in the small side
+    must match nothing (pc.index_in would match null-to-null), and a NULL
+    probe row drops on both paths."""
+    import ray.data as rd
+
+    rows = rd.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(["a", None, "b", None]),
+                "tf": pa.array([1, 2, 3, 4], type=pa.int64()),
+            }
+        )
+    ).materialize()
+    small = rd.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(["a", None]),
+                "df": pa.array([10, 99], type=pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def canon(out):
+        df = out.to_pandas().sort_values(["term", "tf"]).reset_index(drop=True)
+        return list(map(tuple, df[["term", "tf", "df"]].itertuples(index=False)))
+
+    monkeypatch.setenv("MLR_ATTACH_BCAST_MAX", "1000")
+    bcast = canon(attach_small(rows, small, "term", ["df"]))
+    assert bcast == [("a", 1, 10)]
+    monkeypatch.setenv("MLR_ATTACH_BCAST_MAX", "0")
+    assert canon(attach_small(rows, small, "term", ["df"])) == bcast
+
+
+def test_nullable_int_small_keys(ray_session, monkeypatch):
+    """A nullable int64 key column gathers to float64+NaN (to_numpy); the NaN
+    payload rows must not capture any probe, and valid keys still match
+    through the int->float cast."""
+    import ray.data as rd
+
+    rows = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], type=pa.int64()), "v": pa.array([7, 8, 9])})
+    ).materialize()
+    small = rd.from_arrow(
+        pa.table(
+            {"k": pa.array([2, None], type=pa.int64()), "name": pa.array(["two", "ghost"])}
+        )
+    ).materialize()
+    monkeypatch.setenv("MLR_ATTACH_BCAST_MAX", "1000")
+    out = attach_small(rows, small, "k", ["name"]).to_pandas()
+    assert list(out["k"]) == [2] and list(out["name"]) == ["two"]
+
+
+def test_semi_anti_null_probes(ray_session):
+    """broadcast_semi: an object-dtype None probe must not hit a None in the
+    payload (None == None is elementwise True in numpy); broadcast_anti keeps
+    the null-probe row (null never matches the set)."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.joins import broadcast_anti, broadcast_semi
+
+    rows = rd.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(["a", None, "b"]),
+                "tf": pa.array([1, 2, 3], type=pa.int64()),
+            }
+        )
+    ).materialize()
+    small = rd.from_arrow(pa.table({"term": pa.array(["a", None])})).materialize()
+    ref = gather_small_ref(small, ["term"])
+    kept = broadcast_semi(rows, "term", ref).to_pandas()
+    assert list(kept["tf"]) == [1]
+    dropped = broadcast_anti(rows, "term", ref).to_pandas().sort_values("tf")
+    assert list(dropped["tf"]) == [2, 3]
+
+
 def test_int_keys_with_type_mismatch(ray_session):
     import ray.data as rd
 
