@@ -427,13 +427,37 @@ def _take_ranges(flat: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np
     return flat[idx]
 
 
+def _distinct_ab_idx(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row indices of the distinct (a, b) pairs in (a, b)-ascending order —
+    the lexsort-distinct idiom shared by candidate explode, both verify
+    paths' pre-verify distinct, and the post-verify global distinct."""
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.ones(a.size, dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return order[first]
+
+
 def _gather_sig_payload(*tables):
     """Assemble the broadcast shingle-signature payload inside a Ray task:
     (sorted doc ids, per-doc segment starts/counts, one flat u64 value
     array).  Runs off-driver; the result lives in the object store and is
-    read zero-copy by every verify task (one copy per node on a cluster)."""
+    read zero-copy by every verify task (one copy per node on a cluster).
+
+    Zero-COLUMN blocks are filtered first: the involved-id ``broadcast_semi``
+    empties most corpus blocks at scale, and Ray 2.49 materializes a fully
+    emptied block with an EMPTY schema (the same quirk the driver path
+    guards with its ``num_columns`` filter) — ``select`` on one raises."""
     from .hashing import _string_view
 
+    tables = [tb for tb in tables if tb.num_columns]
+    if not tables:
+        return {
+            "sid": np.empty(0, dtype=np.int64),
+            "vals": np.empty(0, dtype=np.uint64),
+            "starts": np.empty(0, dtype=np.int64),
+            "counts": np.empty(0, dtype=np.int64),
+        }
     t = pa.concat_tables(
         [tb.select(["__sid__", "shingle_hashes"]) for tb in tables],
         promote_options="default",
@@ -461,6 +485,11 @@ class _PairVerifyStage:
     of each (id_a, id_b) pair up in the broadcast signature payload and run
     the shared segment-Jaccard kernel.  Pairs whose id is absent from the
     signatures are dropped (inner-join semantics, matching the join path)."""
+
+    # keyed on a per-query ObjectRef, so entries are never reused across
+    # queries — and each pins a ≤256 MB plasma payload via its zero-copy
+    # views; bound to current + draining instead of the 32-slot FIFO
+    CACHE_SLOTS = 2
 
     def __init__(self, payload_ref, threshold: float):
         import ray
@@ -549,11 +578,8 @@ def verify_neardup_pairs(
         # distinct happens AFTER verification on the small surviving set —
         # a global pre-verify distinct would shuffle every candidate pair
         # for <1% dup savings
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        first = np.ones(a.size, dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"id_a": pa.array(a[first]), "id_b": pa.array(b[first])})
+        idx = _distinct_ab_idx(a, b)
+        return pa.table({"id_a": pa.array(a[idx]), "id_b": pa.array(b[idx])})
 
     import ray
 
@@ -656,10 +682,7 @@ def verify_neardup_pairs(
     def distinct_pairs(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy()
         b = t["id_b"].to_numpy()
-        order = np.lexsort((b, a))
-        first = np.ones(a.size, dtype=bool)
-        first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
-        return t.take(pa.array(order[first]))
+        return t.take(pa.array(_distinct_ab_idx(a, b)))
 
     # Driver verify gate: with few candidate pairs the two hash joins are
     # pure all-to-all overhead — stream the (already involved-only) sig rows
@@ -695,11 +718,8 @@ def verify_neardup_pairs(
         a, b = got["id_a"], got["id_b"]
         # global distinct BEFORE verify (≡ distinct after: dup pairs verify
         # to identical rows)
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        first = np.ones(a.size, dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        a, b = a[first], b[first]
+        idx = _distinct_ab_idx(a, b)
+        a, b = a[idx], b[idx]
         pos_a = np.searchsorted(sid_s, a)
         pos_b = np.searchsorted(sid_s, b)
         ok = (
@@ -749,11 +769,8 @@ def verify_neardup_pairs(
         import ray.data as rd
 
         a, b = got["id_a"], got["id_b"]
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        first = np.ones(a.size, dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        a, b = a[first], b[first]
+        idx = _distinct_ab_idx(a, b)
+        a, b = a[idx], b[idx]
         nparts = max(1, min(1024, max(ncpu, a.size // 200_000)))
         verified = (
             rd.from_arrow(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))

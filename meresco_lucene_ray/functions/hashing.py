@@ -171,10 +171,21 @@ def cached_stage(cls, *args):
     stopword tables) run faster as tasks on the shared worker pool than as
     an actor pool: actor pools pay ~1s spin-up per pipeline execution, which
     dominates short stages.  The instance is built once per (cls, args) per
-    worker process and reused across tasks."""
+    worker process and reused across tasks.
+
+    A class may set ``CACHE_SLOTS = n`` to bound ITS entries separately from
+    the global FIFO: stages keyed on a per-query ObjectRef (broadcast
+    payloads) can never be reused by a later query, and each holds zero-copy
+    views that PIN the plasma payload — 32 dead ≤256 MB payloads per worker
+    is real memory; 2 slots (current + draining) is the right bound."""
     key = (cls, args)
     st = _STAGE_CACHE.get(key)
     if st is None:
+        slots = getattr(cls, "CACHE_SLOTS", None)
+        if slots is not None:
+            same = [k for k in _STAGE_CACHE if k[0] is cls]
+            for k in same[: max(0, len(same) - slots + 1)]:
+                _STAGE_CACHE.pop(k)
         if len(_STAGE_CACHE) >= 32:  # bound worker-process memory (FIFO)
             _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
         st = _STAGE_CACHE[key] = cls(*args)

@@ -220,7 +220,12 @@ class _AttachStage:
     per-batch ``np.searchsorted`` fell back to Python object comparisons on
     string keys)."""
 
-    def __init__(self, small_ref, key_col: str, value_cols: tuple, out_cols: tuple):
+    # keyed on a per-query ObjectRef (never reused across queries) and
+    # holding a full ≤5M-row payload copy per entry; bound tighter than the
+    # 32-slot FIFO so dead payloads don't pin worker memory
+    CACHE_SLOTS = 4
+
+    def __init__(self, small_ref, key_col: str, value_cols: tuple):
         import pyarrow.compute as pc
         import ray
 
@@ -245,9 +250,10 @@ class _AttachStage:
                 values = [v.take(idx) for v in values]
         self.skeys = skeys
         self.values = values
-        self.out_cols = out_cols
 
-    def __call__(self, t: pa.Table, probe_col: str) -> pa.Table:
+    def __call__(self, t: pa.Table, probe_col: str, out_cols: tuple) -> pa.Table:
+        # probe_col/out_cols are CALL-time arguments, not cache-key state:
+        # one payload probed under two roles (PMI's w1/w2) shares one entry
         import pyarrow.compute as pc
 
         keys = t[probe_col]
@@ -262,7 +268,7 @@ class _AttachStage:
         valid = pc.is_valid(pos)
         t = t.filter(valid)
         posv = pos.filter(valid)
-        for out, vals in zip(self.out_cols, self.values):
+        for out, vals in zip(out_cols, self.values):
             t = t.append_column(out, vals.take(posv))
         return t
 
@@ -288,7 +294,7 @@ def broadcast_attach(
     oc = tuple(out_cols) if out_cols is not None else vc
 
     def stage(t: pa.Table) -> pa.Table:
-        return cached_stage(_AttachStage, small_ref, key_col, vc, oc)(t, probe)
+        return cached_stage(_AttachStage, small_ref, key_col, vc)(t, probe, oc)
 
     return ds.map_batches(stage, batch_format="pyarrow")
 

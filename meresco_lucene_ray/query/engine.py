@@ -109,6 +109,20 @@ def _first_per_key(t: pa.Table) -> pa.Table:
     return t.take(pa.array(np.flatnonzero(first)))
 
 
+def _valid_key_mask(key_col):
+    """Fully-valid boolean mask of the non-null, non-NaN keys — shared by
+    both dedup merge paths so their NULL semantics cannot drift.  MUST be
+    ``and_kleene``: ``is_nan`` is null on a null element, and plain
+    ``and_`` would propagate that null into the mask, where ``pc.all``
+    (which skips nulls) lets a null-keyed row through the all-True fast
+    path unfiltered.  With Kleene logic the second operand is only null
+    where the first is already False, so the result carries no nulls."""
+    valid = pc.is_valid(key_col)
+    if pa.types.is_floating(key_col.type):
+        valid = pc.and_kleene(valid, pc.invert(pc.is_nan(key_col)))
+    return valid
+
+
 def _drop_invalid_keys(t: pa.Table) -> pa.Table:
     """Drop partial rows whose dedup key is null/NaN (a numeric dedup field
     with missing values) BEFORE the distributed merge — keyless docs never
@@ -117,10 +131,7 @@ def _drop_invalid_keys(t: pa.Table) -> pa.Table:
     segment's NaN run as a distinct group and `total` would diverge).
     They still count toward totalWithDuplicates, which sums `cnt` upstream
     of this filter."""
-    key_col = t["key"]
-    valid = pc.is_valid(key_col)
-    if pa.types.is_floating(key_col.type):
-        valid = pc.and_(valid, pc.invert(pc.is_nan(key_col)))
+    valid = _valid_key_mask(t["key"])
     if bool(pc.all(valid).as_py() or len(t) == 0):
         return t
     return t.filter(valid)
@@ -871,10 +882,7 @@ class IndexSearcher:
         are filtered up front — without this the numpy run-split would
         count each NaN as its own run while group_by collapses them,
         desynchronizing the column zip."""
-        key_col = t["key"]
-        valid = pc.is_valid(key_col)
-        if pa.types.is_floating(key_col.type):
-            valid = pc.and_(valid, pc.invert(pc.is_nan(key_col)))
+        valid = _valid_key_mask(t["key"])
         if not pc.all(valid).as_py():
             t = t.filter(valid)
 
