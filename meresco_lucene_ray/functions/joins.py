@@ -99,9 +99,12 @@ def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     """Collect a SMALL (already filtered/projected) Dataset's columns into
     numpy arrays, sorted by the first column — the broadcast payload.
     Streams batch-wise (never a single driver-side pandas frame); the caller
-    is responsible for gating on row count."""
+    is responsible for gating on row count.  Zero-column batches (Ray 2.49
+    materializes fully-emptied blocks with an EMPTY schema) are skipped."""
     parts: dict[str, list[np.ndarray]] = {c: [] for c in columns}
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_columns == 0:
+            continue
         for c in columns:
             parts[c].append(b[c].to_numpy(zero_copy_only=False))
     if not any(parts.values()):
@@ -111,7 +114,15 @@ def gather_small(ds, columns: list[str]) -> dict[str, np.ndarray]:
     return {c: v[order] for c, v in out.items()}
 
 
-def _gather_tables(cols, *tables):
+def _gather_tables(cols, types, *tables):
+    tables = [tb for tb in tables if tb.num_columns]
+    if not tables:  # every block was an empty-schema block: typed empty
+        return {
+            c: pa.array([], type=types.get(c, pa.int64())).to_numpy(
+                zero_copy_only=False
+            )
+            for c in cols
+        }
     t = pa.concat_tables([tb.select(cols) for tb in tables], promote_options="default")
     out = {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
     order = _null_safe_order(out[cols[0]])
@@ -139,10 +150,12 @@ def gather_small_ref(ds, columns: list[str]):
     if not refs:
         return ray.put(_empty_payload(ds, columns))
 
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
     global _GATHER_REMOTE
     if _GATHER_REMOTE is None:
         _GATHER_REMOTE = ray.remote(num_cpus=1)(_gather_tables)
-    return _GATHER_REMOTE.remote(list(columns), *refs)
+    return _GATHER_REMOTE.remote(list(columns), types, *refs)
 
 
 def _broadcast_keys(obj, key_col: str) -> np.ndarray:
@@ -192,6 +205,8 @@ def broadcast_semi(ds, key_col: str, keys_ref):
     import ray
 
     def stage(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # incl. Ray's zero-column empty-schema blocks
+            return t
         sorted_keys = _broadcast_keys(ray.get(keys_ref), key_col)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         return t.take(pa.array(np.flatnonzero(_member_mask(keys, sorted_keys))))
@@ -205,11 +220,32 @@ def broadcast_anti(ds, key_col: str, keys_ref):
     import ray
 
     def stage(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # incl. Ray's zero-column empty-schema blocks
+            return t
         sorted_keys = _broadcast_keys(ray.get(keys_ref), key_col)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         return t.take(pa.array(np.flatnonzero(~_member_mask(keys, sorted_keys))))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+class _FloatKeyFilter:
+    """Drop rows whose float key is null or NaN — applied to the small side
+    of :func:`attach_small`'s join fallback so it matches the broadcast
+    path's float-key contract (numpy gather collapses null and NaN, so the
+    broadcast side cannot distinguish them; neither key ever matches)."""
+
+    def __init__(self, key_col: str):
+        self.key_col = key_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or len(t) == 0:
+            return t
+        col = t[self.key_col]
+        keep = pc.and_kleene(pc.is_valid(col), pc.invert(pc.is_nan(col)))
+        return t.filter(keep)
 
 
 class _AttachStage:
@@ -256,6 +292,13 @@ class _AttachStage:
         # one payload probed under two roles (PMI's w1/w2) shares one entry
         import pyarrow.compute as pc
 
+        if len(t) == 0:
+            # typed empty (a zero-column empty-schema block has no probe
+            # column to index): keep whatever input columns exist, append
+            # typed empty value columns so downstream schemas unify
+            for out, vals in zip(out_cols, self.values):
+                t = t.append_column(out, pa.array([], type=vals.type))
+            return t
         keys = t[probe_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -315,6 +358,28 @@ def attach_small(rows, small, key_col: str, value_cols: list[str]):
     if small.count() <= gate:
         ref = gather_small_ref(small, [key_col, *value_cols])
         return broadcast_attach(rows, key_col, ref, value_cols)
+    if rows.count() == 0:
+        # Ray's hash join raises inside acero on the zero-column blocks an
+        # empty side materializes ("No match or multiple matches for key
+        # field reference"); an inner join with an empty rows side is a
+        # typed empty table
+        import ray.data as rd
+
+        rsch, ssch = rows.schema(), small.schema()
+        stypes = dict(zip(ssch.names, ssch.types))
+        cols = {n: pa.array([], type=t) for n, t in zip(rsch.names, rsch.types)}
+        for c in value_cols:
+            cols[c] = pa.array([], type=stypes.get(c, pa.int64()))
+        return rd.from_arrow(pa.table(cols))
+    key_t = dict(zip(small.schema().names, small.schema().types)).get(key_col)
+    if key_t is not None and pa.types.is_floating(key_t):
+        # The broadcast path gathers keys through numpy, where null and NaN
+        # collapse — its contract is "float NaN/null keys match nothing".
+        # Ray's hash join matches NaN=NaN (as SQL does), so filter them from
+        # the small side to keep the two gate paths equivalent.
+        small = small.map_batches(
+            _FloatKeyFilter(key_col), batch_format="pyarrow"
+        ).materialize()
     return rows.join(
         small,
         join_type="inner",
