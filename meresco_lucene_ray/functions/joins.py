@@ -367,7 +367,12 @@ def attach_small(rows, small, key_col: str, value_cols: list[str]):
 
         rsch, ssch = rows.schema(), small.schema()
         stypes = dict(zip(ssch.names, ssch.types))
-        cols = {n: pa.array([], type=t) for n, t in zip(rsch.names, rsch.types)}
+        # schema() is None when every block was emptied; type what we can
+        # from the small side (key + value columns)
+        rcols = [] if rsch is None else list(zip(rsch.names, rsch.types))
+        cols = {n: pa.array([], type=t) for n, t in rcols}
+        if key_col not in cols:
+            cols[key_col] = pa.array([], type=stypes.get(key_col, pa.int64()))
         for c in value_cols:
             cols[c] = pa.array([], type=stypes.get(c, pa.int64()))
         return rd.from_arrow(pa.table(cols))

@@ -178,7 +178,12 @@ def keys_of_dataset(ds, key_col: str, size: int, fanin: int | None = None) -> Ke
     fanin = max(fanin, 2)
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = np.unique(batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        if batch.num_columns == 0:  # Ray 2.49 empty-schema block
+            keys = np.empty(0, dtype=np.int64)
+        else:
+            keys = np.unique(
+                batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
         return _adaptive_partial_row(keys[(keys >= 0) & (keys < size)], size)
 
     refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
@@ -225,6 +230,8 @@ def semi_join_filter(ds, key_col: str, keybits: KeyBits):
             ).astype(bool)
 
     def filt(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # incl. Ray 2.49 zero-column empty-schema blocks
+            return batch
         bits = cached_stage(_Unpacked, ref, size).bits
         keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ok = (keys >= 0) & (keys < size)
@@ -270,6 +277,8 @@ def broadcast_lookup_join(ds, key_col: str, mapping, out_col: str, default=None)
             self.vals = pa.array(vals)  # Arrow once per actor; take() below
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0:  # Ray 2.49 empty-schema block
+                return batch.append_column(out_col, pa.array([], type=self.vals.type))
             keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
             pos = np.minimum(np.searchsorted(self.keys, keys), max(self.keys.size - 1, 0))
             ok = (

@@ -114,6 +114,68 @@ def test_attach_stage_shared_across_roles(ray_session):
     assert len([k for k in _STAGE_CACHE if k[0] is _AttachStage]) == 1
 
 
+def test_bitset_stages_tolerate_empty_schema_blocks(ray_session):
+    """keys_of_dataset / semi_join_filter / broadcast_lookup_join over a
+    dataset whose blocks include Ray 2.49's zero-column empty-schema blocks
+    (a fully-emptied filter output) must not KeyError in their map stages."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.join.bitsets import (
+        broadcast_lookup_join,
+        keys_of_dataset,
+        semi_join_filter,
+    )
+
+    good = rd.from_arrow(pa.table({"k": pa.array([1, 3, 5], type=pa.int64())}))
+    # a union with a dataset emptied by filter produces empty blocks
+    emptied = rd.from_arrow(
+        pa.table({"k": pa.array([9], type=pa.int64())})
+    ).filter(lambda r: False).materialize()
+    ds = good.union(emptied).materialize()
+
+    kb = keys_of_dataset(ds, "k", size=8)
+    assert np.flatnonzero(kb.materialize()).tolist() == [1, 3, 5]
+    kept = semi_join_filter(ds, "k", kb).to_pandas()
+    assert sorted(kept["k"]) == [1, 3, 5]
+    out = broadcast_lookup_join(
+        ds, "k", (np.array([1, 5]), np.array([10, 50])), "v"
+    ).to_pandas()
+    got = dict(zip(out["k"], out["v"]))
+    assert got[1] == 10 and got[5] == 50 and np.isnan(got[3])
+
+    # and the joins-module gathers over the same shape
+    from meresco_lucene_ray.functions.joins import attach_small, gather_small
+
+    p = gather_small(ds, ["k"])
+    assert p["k"].tolist() == [1, 3, 5]
+    small = rd.from_arrow(
+        pa.table({"k": pa.array([3], type=pa.int64()), "w": pa.array([30], type=pa.int64())})
+    ).materialize()
+    out2 = attach_small(ds, small, "k", ["w"]).to_pandas()
+    assert list(out2["k"]) == [3] and list(out2["w"]) == [30]
+
+
+def test_attach_small_empty_rows_join_fallback(ray_session, monkeypatch):
+    """The hash-join fallback with an EMPTY rows side returns a typed empty
+    table instead of crashing inside acero on zero-column blocks."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.functions.joins import attach_small
+
+    rows = (
+        rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()), "v": pa.array([7])}))
+        .filter(lambda r: False)
+        .materialize()
+    )
+    small = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()), "w": pa.array([10, 20])})
+    ).materialize()
+    monkeypatch.setenv("MLR_ATTACH_BCAST_MAX", "0")
+    out = attach_small(rows, small, "k", ["w"])
+    assert out.count() == 0
+    assert "w" in out.schema().names
+
+
 def test_distinct_ab_idx():
     a = np.array([3, 1, 3, 1, 2], dtype=np.int64)
     b = np.array([4, 2, 4, 2, 9], dtype=np.int64)
