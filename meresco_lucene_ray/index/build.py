@@ -664,7 +664,14 @@ class SegmentBuilder:
             inner_len = np.diff(inner_off)
             # gather position spans into (term, doc) posting order
             L = inner_len[sort]
-            out_starts = np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+            # L can be EMPTY (a shard whose docs all tokenize to zero tokens);
+            # the concatenate form would yield [0] (len 1 ≠ len 0) and break
+            # the np.repeat below.
+            out_starts = (
+                np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+                if L.size
+                else np.zeros(0, dtype=np.int64)
+            )
             total = int(L.sum())
             gather = np.repeat(inner_off[:-1][sort], L) + (
                 np.arange(total, dtype=np.int64) - np.repeat(out_starts, L)
