@@ -52,7 +52,11 @@ def _decode_whole_segment(seg_dir: str):
     post = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
     df = post["df"].to_numpy()
     n_post = int(df.sum())
-    term_starts = np.concatenate(([0], np.cumsum(df)[:-1])).astype(np.int64)
+    term_starts = (
+        np.concatenate(([0], np.cumsum(df)[:-1])).astype(np.int64)
+        if df.size
+        else np.zeros(0, np.int64)
+    )
     docs_concat = b"".join(post["docs"].to_pylist())
     tfs_concat = b"".join(post["tfs"].to_pylist())
     gaps = varint_decode(docs_concat)
@@ -77,7 +81,13 @@ def _decode_whole_segment(seg_dir: str):
         pos_concat = b"".join(post["pos"].to_pylist())
         pgaps = varint_decode(pos_concat)
         plen = tfs.astype(np.int64)
-        pstarts = np.concatenate(([0], np.cumsum(plen)[:-1])).astype(np.int64)
+        # zero postings: the usual concat(([0], cumsum[:-1])) yields [0]
+        # against an empty plen and _grouped_cumsum indexes an empty cs
+        pstarts = (
+            np.concatenate(([0], np.cumsum(plen)[:-1])).astype(np.int64)
+            if plen.size
+            else np.zeros(0, np.int64)
+        )
         out["positions_flat"] = _grouped_cumsum(pgaps, pstarts, plen)
         out["posting_starts"] = pstarts
     docs_table = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
@@ -241,7 +251,15 @@ class SegmentMerger:
             positions_flat = np.concatenate(flat_parts) if flat_parts else np.zeros(0, np.uint64)
             posting_starts_old = np.concatenate(start_parts).astype(np.int64)
             L = tfs.astype(np.int64)[sort]
-            out_starts = np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+            # zero postings (all docs empty / everything tombstoned): cumsum
+            # would yield out_starts=[0] against an empty L and break the
+            # np.repeat broadcast — the merge-time twin of the empty-shard
+            # positions guard in build.py
+            out_starts = (
+                np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+                if L.size
+                else np.zeros(0, np.int64)
+            )
             total = int(L.sum())
             gather = np.repeat(posting_starts_old[sort], L) + (
                 np.arange(total, dtype=np.int64) - np.repeat(out_starts, L)
@@ -271,9 +289,12 @@ def merge_index(
     out_dir: str,
     max_merge_at_once: int = 8,
     num_actors: int = 4,
+    num_cpus: float = 1.0,
 ) -> IndexManifest:
     """Merge an index's segments in groups of ``max_merge_at_once`` through a
-    pool of SegmentMerger actors; publishes a new manifest in ``out_dir``."""
+    pool of SegmentMerger actors; publishes a new manifest in ``out_dir``.
+    ``num_cpus`` is the per-merger reservation (fractional fits a small
+    test session alongside live searcher actors)."""
     import ray
 
     src = IndexManifest.load(index_dir)
@@ -288,12 +309,16 @@ def merge_index(
     if cur:
         groups.append(cur)
 
-    Actor = ray.remote(num_cpus=1)(SegmentMerger)
+    Actor = ray.remote(num_cpus=num_cpus)(SegmentMerger)
     pool = [
         Actor.remote(index_dir, out_dir, src.config) for _ in range(min(num_actors, len(groups)))
     ]
     futures = [pool[i % len(pool)].merge.remote(g, i) for i, g in enumerate(groups)]
     infos = ray.get(futures)
+    # release the reservations immediately — the async GC-kill can lag past
+    # the next actor creation in a CPU-tight session
+    for a in pool:
+        ray.kill(a, no_restart=True)
 
     segments = [SegmentInfo(**info) for info in sorted(infos, key=lambda x: x["shard"])]
     manifest = IndexManifest(

@@ -580,6 +580,30 @@ class IndexSearcher:
         Actor = ray.remote(num_cpus=self._num_cpus)(_SegmentActorImpl)
         self.actors = [Actor.remote(self.index_dir, paths, tombstones) for paths in assign if paths]
 
+    def close(self) -> None:
+        """Release the segment actors NOW (idempotent).  Handles dying with
+        the searcher object normally suffices, but the kill is async and a
+        pinned traceback (pytest/hypothesis keeps frame locals of a failing
+        example) can hold the handles arbitrarily long — in a small test
+        session the stale CPU reservations then deadlock the next actor
+        creation.  Short-lived searchers should close explicitly (or use
+        the context-manager form)."""
+        import ray
+
+        for a in getattr(self, "actors", []):
+            try:
+                ray.kill(a, no_restart=True)
+            except Exception:
+                pass
+        self.actors = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def refresh(self) -> bool:
         """NRT refresh (SearcherTaxonomyManager.maybeRefreshBlocking analog,
         Lucene.java:899-907): reload the manifest; when its version changed,

@@ -65,3 +65,41 @@ def test_merge_prefix_and_dedup(merged):
     d2 = s2.execute(TermQ("def"), dedup_field="lang", stop=10)
     assert d1.total == d2.total
     assert d1.total_with_duplicates == d2.total_with_duplicates
+
+
+def test_merge_zero_postings_with_positions(ray_session, tmp_path):
+    """Merge-time twin of the empty-shard positions guard in build.py: a
+    merge group whose docs ALL tokenize to zero tokens (or are all
+    tombstoned) produces zero postings — the positions gather must emit an
+    empty out_starts, not [0], or np.repeat raises a broadcast error."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from meresco_lucene_ray.index.build import delete_documents
+    from meresco_lucene_ray.query import MatchAllQ
+
+    # all-empty docs, positions on
+    d1 = str(tmp_path / "empty_src")
+    cfg = IndexConfig(text_col="text", id_col="__id__", num_shards=2, store_positions=True)
+    build_index(
+        rd.from_arrow(pa.table({"__id__": ["a", "b", "c"], "text": ["", "", ""]})), d1, cfg
+    )
+    m = merge_index(d1, str(tmp_path / "empty_merged"), max_merge_at_once=4, num_actors=1)
+    assert m.num_docs == 3
+    s = IndexSearcher(str(tmp_path / "empty_merged"), num_actors=1, num_cpus=0.25)
+    assert s.count(MatchAllQ()) == 3
+    assert s.count(TermQ("anything")) == 0
+    s.close()
+
+    # everything tombstoned: postings rows exist but every doc is deleted
+    d2 = str(tmp_path / "tomb_src")
+    build_index(
+        rd.from_arrow(pa.table({"__id__": ["x", "y"], "text": ["alpha beta", "alpha"]})), d2, cfg
+    )
+    delete_documents(d2, ["x", "y"])
+    m2 = merge_index(d2, str(tmp_path / "tomb_merged"), max_merge_at_once=4, num_actors=1)
+    assert m2.num_docs == 0
+    s2 = IndexSearcher(str(tmp_path / "tomb_merged"), num_actors=1, num_cpus=0.25)
+    assert s2.count(MatchAllQ()) == 0
+    assert s2.count(TermQ("alpha")) == 0
+    s2.close()
