@@ -526,7 +526,14 @@ class TokenizeStage:
         if cfg.store_positions:
             L = run_tf.astype(np.int64)
             total = int(L.sum())
-            out_starts = np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+            # all fields of all docs empty → L is EMPTY; the concat form
+            # yields [0] (len 1 ≠ len 0) and breaks the np.repeat below
+            # (multifield twin of the build_segment / merge guards)
+            out_starts = (
+                np.concatenate(([0], np.cumsum(L)[:-1])).astype(np.int64)
+                if L.size
+                else np.zeros(0, dtype=np.int64)
+            )
             gather = np.repeat(pos_start_cat[order], L) + (
                 np.arange(total, dtype=np.int64) - np.repeat(out_starts, L)
             )

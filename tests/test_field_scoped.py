@@ -165,3 +165,33 @@ def test_per_field_stemming(ray_session, tmp_path_factory):
     # body: NOT stemmed
     assert s.count(TermQ("kat")) == 0
     assert s.count(TermQ("katten")) == 1
+
+
+def test_multifield_all_empty_docs_positions(ray_session, tmp_path_factory):
+    """Multifield twin of the empty-shard positions guard: a batch whose
+    docs tokenize to zero tokens in EVERY field used to build out_starts=[0]
+    against an empty run list and crash the tokenize stage's np.repeat
+    (found by auditing the build_segment fix's pattern)."""
+    import ray.data as rd
+
+    from meresco_lucene_ray.query import MatchAllQ
+
+    d = str(tmp_path_factory.mktemp("mf_empty") / "idx")
+    cfg = IndexConfig(
+        text_col="body",
+        id_col="__id__",
+        text_fields=("title",),
+        num_shards=1,
+        store_positions=True,
+    )
+    build_index(
+        rd.from_arrow(
+            pa.table({"__id__": ["a", "b"], "body": ["", ""], "title": ["", ""]})
+        ),
+        d,
+        cfg,
+    )
+    with IndexSearcher(d, num_actors=1, num_cpus=0.25) as s:
+        assert s.count(MatchAllQ()) == 2
+        assert s.count(TermQ("x")) == 0
+        assert s.count(TermQ("x", field="title")) == 0
