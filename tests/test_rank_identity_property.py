@@ -92,3 +92,107 @@ def test_random_corpus_rank_identity(ray_session, docs):
             )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+_DOCS2 = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10),
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=6),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_DOCS2)
+def test_random_corpus_field_scoped_rank_identity(ray_session, docs):
+    """Field-scoped twin of the rank-identity oracle: random TWO-field
+    corpora (body default + title \x1f-prefixed), asserting field-scoped
+    term/OR/AND/phrase rankings match a brute-force oracle built over ONLY
+    that field's texts (per-field df/dl; avgdl = field sum_dl / total N —
+    the engine's per-field-stats contract), and that a cross-field
+    conjunction scores as the sum of the two fields' oracles."""
+    import ray.data as rd
+
+    ids = [f"d{i:03d}" for i in range(len(docs))]
+    bodies = [" ".join(b) for b, _ in docs]
+    titles = [" ".join(t) for _, t in docs]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "__id__": pa.array(ids),
+                "body": pa.array(bodies),
+                "title": pa.array(titles),
+            }
+        )
+    )
+    idx_dir = f"/tmp/mlr_rankprop2/{uuid.uuid4().hex}"
+    try:
+        cfg = IndexConfig(
+            text_col="body",
+            id_col="__id__",
+            text_fields=("title",),
+            num_shards=2,
+            store_positions=True,
+        )
+        build_index(ds, idx_dir, cfg)
+        with IndexSearcher(idx_dir, num_actors=2) as searcher:
+            o_body = BruteForceIndex(ids, bodies)
+            o_title = BruteForceIndex(ids, titles)
+            k = len(docs) + 1
+            for a, b in [("alpha", "beta"), ("zeta", "gamma")]:
+                _assert_same(
+                    _engine_top(searcher, TermQ(a, field="title"), k),
+                    o_title.top_k_or([a], k),
+                )
+                _assert_same(
+                    _engine_top(
+                        searcher,
+                        BoolQ(should=(TermQ(a, field="title"), TermQ(b, field="title"))),
+                        k,
+                    ),
+                    o_title.top_k_or([a, b], k),
+                )
+                _assert_same(
+                    _engine_top(
+                        searcher,
+                        BoolQ(must=(TermQ(a, field="title"), TermQ(b, field="title"))),
+                        k,
+                    ),
+                    o_title.top_k_and([a, b], k),
+                )
+                _assert_same(
+                    _engine_top(searcher, PhraseQ([a, b], field="title"), k),
+                    o_title.top_k_phrase([a, b], k),
+                )
+                # cross-field AND: matches docs hit in BOTH fields; score is
+                # the sum of each field's independent BM25 contribution,
+                # float64 throughout with ONE final f32 rounding (the
+                # engine's score_f32 contract, same as the oracle's top_k_*)
+                want = [
+                    (
+                        ids[i],
+                        float(
+                            np.float32(
+                                o_body.score_term(i, a) + o_title.score_term(i, b)
+                            )
+                        ),
+                    )
+                    for i in range(len(ids))
+                    if o_body.matches_term(i, a) and o_title.matches_term(i, b)
+                ]
+                _assert_same(
+                    _engine_top(
+                        searcher,
+                        BoolQ(must=(TermQ(a), TermQ(b, field="title"))),
+                        k,
+                    ),
+                    want,
+                )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
