@@ -857,11 +857,16 @@ def delete_by_query(index_dir: str, query, searcher=None) -> IndexManifest:
     one a temporary single-actor searcher opens the current manifest.
     Scale note: tombstones are O(matches) — for match-most deletions run
     ``merge_index`` with an exclusion filter instead."""
+    temp = None
     if searcher is None:
         from ..query.engine import IndexSearcher
 
-        searcher = IndexSearcher(index_dir, num_actors=1)
-    ids = searcher.matching_ids(query)
+        searcher = temp = IndexSearcher(index_dir, num_actors=1)
+    try:
+        ids = searcher.matching_ids(query)
+    finally:
+        if temp is not None:
+            temp.close()  # eager actor release (see IndexSearcher.close)
     if not ids:
         return IndexManifest.load(index_dir)
     return delete_documents(index_dir, ids)
