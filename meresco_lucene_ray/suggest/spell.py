@@ -20,7 +20,11 @@ import numpy as np
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Classic unit-cost edit distance (equal to DuckDB's levenshtein)."""
+    """Classic unit-cost edit distance over CODEPOINTS (Lucene's
+    DirectSpellChecker semantics).  Equal to DuckDB's levenshtein on ASCII
+    — the only domain the oracle gate compares, since index terms are
+    [a-z0-9_]+ — but DuckDB counts UTF-8 BYTES on non-ASCII
+    (pinned by tests/test_tokenize_property.py)."""
     if a == b:
         return 0
     prev = list(range(len(b) + 1))
