@@ -315,7 +315,11 @@ class Lucene:
     def prefix_search(
         self, fieldname: str, prefix: str, show_count: bool = False, limit: int = 10
     ) -> ListResponse:
-        pairs = self.searcher.prefix_search(prefix, limit=limit)
+        """prefixSearch (:132-142): terms of the named field starting with
+        ``prefix``, most-frequent first.  The searcher scopes the scan —
+        default text column / per-field text postings / keyword docvalue
+        values (engine.prefix_search)."""
+        pairs = self.searcher.prefix_search(prefix, limit=limit, field=fieldname)
         ranked = sorted(pairs, key=lambda t: t[1], reverse=True)
         hits = [(t, c) if show_count else t for t, c in ranked]
         return ListResponse(total=len(hits), hits=hits)

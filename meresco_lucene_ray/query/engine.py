@@ -290,11 +290,11 @@ class _SegmentActorImpl:
             out.append((s.base, k, v))
         return out
 
-    def prefix_terms(self, prefix, limit):
+    def prefix_terms(self, prefix, limit, field=None):
         acc: dict[str, int] = {}
         truncated = False
         for s in self.searchers:
-            terms, dfs, trunc = s.prefix_terms(prefix, limit)
+            terms, dfs, trunc = s.prefix_terms(prefix, limit, field)
             truncated |= trunc
             for t, d in zip(terms, dfs.tolist()):
                 acc[t] = acc.get(t, 0) + d
@@ -1369,17 +1369,39 @@ class IndexSearcher:
             out[uniq] = vals[::-1][first_rev]
         return out
 
-    def prefix_search(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+    def prefix_search(
+        self, prefix: str, limit: int = 10, field: str | None = None
+    ) -> list[tuple[str, int]]:
         """prefixSearch / termsForField (Lucene.java:629-666): (term, df) pairs,
-        python-side re-sort by count desc (meresco/lucene/_lucene.py:132-142)."""
+        python-side re-sort by count desc (meresco/lucene/_lucene.py:132-142).
+
+        ``field`` scopes the scan like the reference's per-field Terms enum:
+        ``None`` (or the default text column, normalized by the facade) scans
+        the default-field postings; a registered per-field text column scans
+        its ``<field>\\x1f``-keyed dictionary range; a stored keyword/docvalue
+        column has no postings — its distinct values + counts come from the
+        facet ordinal machinery instead (same distributed path as Q9)."""
         import ray
+
+        cfg = self.manifest.config
+        if field is not None and field == cfg.get("text_col"):
+            field = None  # default text column = the bare-term dictionary
+        if field is not None and field not in cfg.get("text_fields", ()):
+            if field not in cfg.get("stored_cols", ()):
+                return []  # unknown field: the reference returns no terms
+            res = self.execute(MatchAllQ(), stop=0, facets=[field])
+            vals = res.drilldown_data.get(field, {})
+            return sorted(
+                ((v, c) for v, c in vals.items() if isinstance(v, str) and v.startswith(prefix)),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:limit]
 
         # scan the full prefix range per segment (cap only as a safety valve):
         # truncating per-segment in term order would drop high-df terms that
         # sort late, breaking the df-desc re-sort (meresco _lucene.py:132-142)
         acc: dict[str, int] = {}
         for part, truncated in ray.get(
-            [a.prefix_terms.remote(prefix, 100_000) for a in self.actors]
+            [a.prefix_terms.remote(prefix, 100_000, field) for a in self.actors]
         ):
             if truncated:
                 # pathological prefix: a SEGMENT scan stopped at the valve

@@ -127,6 +127,26 @@ def test_prefix_search_does_not_leak_field_keys(two_field_index):
     assert "heading" not in names  # title-only token is not a body term
 
 
+def test_prefix_search_field_scoped(two_field_index):
+    d, _ = two_field_index
+    s = IndexSearcher(d, num_actors=1, num_cpus=0.25)
+    # scoped to the per-field text column: title terms with their title df
+    title_terms = dict(s.prefix_search("", limit=1000, field="title"))
+    assert title_terms["heading"] == 3
+    assert title_terms["shared"] == 2  # title df, not body df (2 docs, tf 1)
+    assert "alpha" not in title_terms  # body-only token
+    assert all("\x1f" not in t for t in title_terms)
+    # 'h' prefix scoped to title
+    assert dict(s.prefix_search("h", limit=10, field="title")) == {"heading": 3}
+    # naming the default text column ≡ the unscoped scan
+    assert s.prefix_search("sh", limit=10, field="body") == s.prefix_search("sh", limit=10)
+    # a stored keyword column: distinct values + counts via the facet path
+    assert s.prefix_search("", limit=10, field="lang") == [("de", 2), ("en", 2)]
+    assert s.prefix_search("e", limit=10, field="lang") == [("en", 2)]
+    # an unknown field yields no terms
+    assert s.prefix_search("a", limit=10, field="nosuch") == []
+
+
 def test_unscoped_queries_unchanged_on_multifield_index(two_field_index):
     d, _ = two_field_index
     s = IndexSearcher(d, num_actors=2, num_cpus=0.25)
