@@ -25,8 +25,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DOCS_PER_SF = 200_000  # sf0.1 -> 20k synthetic source files
 DOCS_OVERRIDE = int(os.environ.get("MLR_BENCH_DOCS", "0"))  # --scaling uses a
-# larger fixed corpus so compute dominates Ray's fixed stage/startup overheads
-SCALING_DOCS = 400_000
+# larger fixed corpus so compute dominates Ray's fixed stage/startup overheads:
+# at 400k docs the 32-cpu build finishes in <4s and per-build fixed costs
+# (driver planning, segment publish, manifest barrier) eat ~20% of the leg —
+# quiet-window efficiency read 0.64 there vs 0.79 at 1.6M on the same tree
+# (2026-08-20 isolated-leg measurement, /tmp bench artifacts); 1.6M puts both
+# legs in the work-dominated regime a 100 TB build actually runs in
+SCALING_DOCS = 1_600_000
 SKIP_ENTRIES = os.environ.get("MLR_BENCH_SKIP_ENTRIES", "") == "1"
 
 # mixed query set (single-term / boolean / phrase / prefix / filtered),
@@ -111,7 +116,11 @@ def run_bench() -> dict:
         store_positions=True,
         hash_content=True,
     )
-    target = max(500, n_docs // 64)  # fine units pack well at any CPU level
+    # fine units pack well at any CPU level; at least 4 waves per CPU pool so
+    # wave-boundary stragglers idle at most ~1/(4·waves) of the pool
+    # (MLR_BENCH_UNIT_DOCS overrides for packing experiments)
+    unit_override = int(os.environ.get("MLR_BENCH_UNIT_DOCS", "0"))
+    target = unit_override or max(500, min(n_docs // 64, n_docs // (4 * NUM_CPUS)))
     warm_dir = f"/tmp/mlr_bench/warm_{n_docs}_{NUM_CPUS}"
     shutil.rmtree(warm_dir, ignore_errors=True)
     build_index(corpus_dir, warm_dir, cfg, target_docs_per_segment=target)

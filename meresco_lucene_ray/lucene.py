@@ -318,7 +318,13 @@ class Lucene:
         """prefixSearch (:132-142): terms of the named field starting with
         ``prefix``, most-frequent first.  The searcher scopes the scan —
         default text column / per-field text postings / keyword docvalue
-        values (engine.prefix_search)."""
+        values (engine.prefix_search).  A fieldname that is neither stored
+        nor a registered text field folds to the default text column, the
+        same aliasing the update route applies to unregistered TextFields
+        (their terms live in the default column's postings)."""
+        known = {self._cfg.text_col, *self._cfg.text_fields, *self._cfg.stored_cols}
+        if fieldname is not None and fieldname not in known:
+            fieldname = None
         pairs = self.searcher.prefix_search(prefix, limit=limit, field=fieldname)
         ranked = sorted(pairs, key=lambda t: t[1], reverse=True)
         hits = [(t, c) if show_count else t for t, c in ranked]

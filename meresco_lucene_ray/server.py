@@ -224,8 +224,16 @@ class LuceneServer:
             if not isinstance(q, dict):
                 return q
             core = self._multi[core_name]
-            q = self._fold_fields(q, core._cfg.text_col, frozenset(core._cfg.stored_cols))
-            return wire_to_ast(q)
+            # same fold + WireConfig as the single-core /query/ route: terms
+            # naming a registered per-field text column stay field-scoped
+            # (they fold into the default column — and lose their per-field
+            # postings — if omitted here)
+            q = self._fold_fields(
+                q,
+                core._cfg.text_col,
+                frozenset(core._cfg.stored_cols) | frozenset(core._cfg.text_fields),
+            )
+            return wire_to_ast(q, core.wire_config())
 
         cq.queries = {c: conv(c, q) for c, q in cq.queries.items()}
         cq.filter_queries = {

@@ -247,3 +247,58 @@ def test_composed_query_endpoint(tmp_path, ray_session):
     # coreB docs b0 (key 0) and b2 (key 2) match → coreA docs a0, a2 survive
     assert r["total"] == 2
     assert sorted(h["id"] for h in r["hits"]) == ["a0", "a2"]
+
+
+def test_composed_query_field_scoped_text_term(tmp_path, ray_session):
+    """Composed-query conversion threads each core's WireConfig: a term
+    naming a registered per-field text column stays field-scoped instead of
+    folding into the default text column (same contract as /coreX/query/)."""
+    settings = LuceneSettings(commit_count=1)
+    a = Lucene(str(tmp_path / "A"), name="coreA", settings=settings, num_actors=1,
+               stored_cols=("keyA",), text_fields=("title",))
+    b = Lucene(str(tmp_path / "B"), name="coreB", settings=settings, num_actors=1,
+               stored_cols=("keyB",))
+    server = LuceneServer(MultiLucene([a, b], default_core="coreA"))
+    docs = [("apple", "apple"), ("apple banana", "pear"), ("cherry", "apple")]
+    for i, (content, title) in enumerate(docs):
+        resp = server.handle_request(
+            "/coreA/update/", "POST",
+            json.dumps([
+                {"type": "TextField", "name": "content", "value": content},
+                {"type": "TextField", "name": "title", "value": title},
+                {"type": "KeyField", "name": "keyA", "value": i},
+            ]),
+            identifier=f"a{i}",
+        )
+        assert resp["statusCode"] == "200", resp["body"]
+    for i in range(3):
+        resp = server.handle_request(
+            "/coreB/update/", "POST",
+            json.dumps([
+                {"type": "TextField", "name": "g", "value": "match"},
+                {"type": "KeyField", "name": "keyB", "value": i},
+            ]),
+            identifier=f"b{i}",
+        )
+        assert resp["statusCode"] == "200", resp["body"]
+    cq = {
+        "resultsFrom": "coreA",
+        "cores": ["coreA", "coreB"],
+        "queries": {
+            "coreA": {"type": "TermQuery", "term": {"field": "title", "value": "apple"}},
+            "coreB": {"type": "MatchAllDocsQuery"},
+        },
+        "_matches": {
+            "coreA->coreB": [
+                {"core": "coreA", "uniqueKey": "keyA"},
+                {"core": "coreB", "key": "keyB"},
+            ]
+        },
+    }
+    resp = server.handle_request("/query/", "POST", json.dumps(cq))
+    assert resp["statusCode"] == "200", resp["body"]
+    r = json.loads(resp["body"])
+    # title-scoped: a0 and a2 ('apple' in title) — NOT a1 ('apple' only in
+    # content, which a fold-into-default conversion would wrongly match)
+    assert r["total"] == 2
+    assert sorted(h["id"] for h in r["hits"]) == ["a0", "a2"]
