@@ -72,21 +72,23 @@ def numerate_columns(ds, cols: list[str], numerator: TermNumerator, suffix: str 
     (DocumentStringToDocument.java:136-144) as a map_batches stage."""
     import ray
 
-    ref = ray.put(numerator.index)
+    ref = ray.put(list(numerator.terms))
 
     class Numerate:
         def __init__(self):
-            self.index = ray.get(ref)
+            # ordinal order: position in the value set IS the numerated id
+            self.value_set = pa.array(ray.get(ref), type=pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             if batch.schema.metadata:
                 batch = batch.replace_schema_metadata(None)
             for c in cols:
-                vals = batch[c].to_pylist()
-                ids = np.fromiter(
-                    (self.index.get(str(v), -1) for v in vals), dtype=np.int64, count=len(vals)
-                )
-                batch = batch.append_column(c + suffix, pa.array(ids))
+                keys = pc.cast(batch[c], pa.string())
+                ids = pc.index_in(keys, value_set=self.value_set)
+                ids = pc.fill_null(pc.cast(ids, pa.int64()), -1)
+                batch = batch.append_column(c + suffix, ids)
             return batch
 
     return ds.map_batches(Numerate, batch_format="pyarrow", concurrency=(1, 4))

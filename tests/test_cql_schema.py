@@ -136,3 +136,20 @@ def test_term_numerator(tmp_path):
     tn.save(path)
     tn2 = TermNumerator.load(path)
     assert tn2.terms == ["a", "b", "c"]
+
+
+def test_numerate_columns_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from meresco_lucene_ray.state import TermNumerator, numerate_columns
+
+    tn = TermNumerator(["7", "a", "b"])
+    ds = rd.from_arrow(
+        pa.table({"k": ["b", "zz", None, "a"], "n": [7, 8, 7, None]})
+    )
+    out = numerate_columns(ds, ["k", "n"], tn).to_pandas().fillna(-1)
+    # unseen ('zz', 8) and null values both numerate to -1; the int column
+    # numerates through its string form (KeyField values arrive as strings)
+    assert out["k_key"].tolist() == [2, -1, -1, 1]
+    assert out["n_key"].tolist() == [0, -1, 0, -1]
