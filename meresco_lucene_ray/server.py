@@ -104,8 +104,23 @@ class LuceneServer:
         if identifier is not None:
             core.delete(identifier=identifier)
         else:
-            core.delete(lucene_query=json.loads(Body)["query"])
+            # same folding as /query/ and /composedquery: a delete naming a
+            # folded (unregistered TextField) field must hit the same docs
+            # the identical query body matches
+            core.delete(lucene_query=self._fold_for(core, json.loads(Body)["query"]))
         return _ok("", "text/plain")
+
+    @staticmethod
+    def _fold_for(core: Lucene, q: Any) -> Any:
+        """One fold rule for every wire-query entry point (_query, _delete,
+        _convert_composed): registered text fields and stored columns pass
+        through (wire_to_ast scopes/types them), everything else aliases to
+        the core's default text column."""
+        return LuceneServer._fold_fields(
+            q,
+            core._cfg.text_col,
+            frozenset(core._cfg.stored_cols) | frozenset(core._cfg.text_fields),
+        )
 
     @staticmethod
     def _fold_fields(q: Any, text_col: str, stored: frozenset) -> Any:
@@ -137,11 +152,7 @@ class LuceneServer:
             return _ok(json.dumps({"total": 0, "queryTime": 0, "hits": []}))
         t0 = time.monotonic()
         times: dict[str, int] = {}
-        query = self._fold_fields(
-            d["query"],
-            core._cfg.text_col,
-            frozenset(core._cfg.stored_cols) | frozenset(core._cfg.text_fields),
-        )
+        query = self._fold_for(core, d["query"])
         res = core.execute_query(
             lucene_query=query,
             start=d.get("start"),
@@ -228,12 +239,7 @@ class LuceneServer:
             # naming a registered per-field text column stay field-scoped
             # (they fold into the default column — and lose their per-field
             # postings — if omitted here)
-            q = self._fold_fields(
-                q,
-                core._cfg.text_col,
-                frozenset(core._cfg.stored_cols) | frozenset(core._cfg.text_fields),
-            )
-            return wire_to_ast(q, core.wire_config())
+            return wire_to_ast(self._fold_for(core, q), core.wire_config())
 
         cq.queries = {c: conv(c, q) for c, q in cq.queries.items()}
         cq.filter_queries = {

@@ -79,14 +79,34 @@ def numerate_columns(ds, cols: list[str], numerator: TermNumerator, suffix: str 
             # ordinal order: position in the value set IS the numerated id
             self.value_set = pa.array(ray.get(ref), type=pa.string())
 
+        def _stringify(self, col):
+            """Match the dictionary builders' ``str(v)`` exactly: Arrow's
+            cast-to-string agrees with ``str()`` only for string and integer
+            types (floats: '7' vs '7.0'; bools: 'true' vs 'True'), and the
+            builders numerate nulls as the literal 'None'."""
+            import pyarrow.compute as pc
+
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = col.type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                keys = col
+            elif pa.types.is_integer(t):
+                keys = pc.cast(col, pa.string())
+            else:  # float/bool/decimal/...: rare key types, str() per value
+                keys = pa.array(
+                    [None if v is None else str(v) for v in col.to_pylist()],
+                    type=pa.string(),
+                )
+            return pc.fill_null(keys, "None")
+
         def __call__(self, batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
             if batch.schema.metadata:
                 batch = batch.replace_schema_metadata(None)
             for c in cols:
-                keys = pc.cast(batch[c], pa.string())
-                ids = pc.index_in(keys, value_set=self.value_set)
+                ids = pc.index_in(self._stringify(batch[c]), value_set=self.value_set)
                 ids = pc.fill_null(pc.cast(ids, pa.int64()), -1)
                 batch = batch.append_column(c + suffix, ids)
             return batch

@@ -153,3 +153,31 @@ def test_numerate_columns_stage(ray_session):
     # numerates through its string form (KeyField values arrive as strings)
     assert out["k_key"].tolist() == [2, -1, -1, 1]
     assert out["n_key"].tolist() == [0, -1, 0, -1]
+
+
+def test_numerate_columns_str_parity(ray_session):
+    """The distributed stage stringifies exactly like the dictionary
+    builders' str(v): floats keep their '.0', bools are 'True'/'False',
+    nulls are the literal 'None' — so a dictionary built via str() on the
+    driver (from_datasets/numerate) resolves identically in the stage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from meresco_lucene_ray.state import TermNumerator, numerate_columns
+
+    tn = TermNumerator(["7.0", "True", "None", "x"])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "f": pa.array([7.0, 8.5, None], type=pa.float64()),
+                "b": pa.array([True, False, None], type=pa.bool_()),
+                "s": pa.array(["x", None, "y"], type=pa.string()),
+            }
+        )
+    )
+    out = numerate_columns(ds, ["f", "b", "s"], tn).to_pandas()
+    assert out["f_key"].tolist() == [0, -1, 2]  # str(7.0)='7.0'; null→'None'
+    assert out["b_key"].tolist() == [1, -1, 2]  # str(True)='True'
+    assert out["s_key"].tolist() == [3, 2, -1]  # null string → 'None' too
+    # parity with the driver-side numerate_array on the same values
+    assert tn.numerate_array([7.0, 8.5, None]).tolist() == [0, -1, 2]

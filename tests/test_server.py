@@ -302,3 +302,21 @@ def test_composed_query_field_scoped_text_term(tmp_path, ray_session):
     # content, which a fold-into-default conversion would wrongly match)
     assert r["total"] == 2
     assert sorted(h["id"] for h in r["hits"]) == ["a0", "a2"]
+
+
+def test_delete_by_query_folded_field(server):
+    """Delete-by-query folds unregistered TextField names into the default
+    text column exactly like /query/ does — the identical body must match
+    the same docs on both routes (the update route folded 'author' terms
+    into the default column at index time)."""
+    for ident, author in [("d1", "smith"), ("d2", "jones"), ("d3", "smith")]:
+        _update(server, ident, [{"type": "TextField", "name": "author", "value": author}])
+    body = {"type": "TermQuery", "term": {"field": "author", "value": "smith"}}
+    r = _query(server, query=body)
+    assert r["total"] == 2
+    resp = server.handle_request("/coreA/delete/", "POST", json.dumps({"query": body}))
+    assert resp["statusCode"] == "200", resp["body"]
+    server.handle_request("/commit/", "POST")
+    r = _query(server, query={"type": "MatchAllDocsQuery"})
+    assert r["total"] == 1
+    assert [h["id"] for h in r["hits"]] == ["d2"]
