@@ -300,6 +300,16 @@ class _SegmentActorImpl:
                 acc[t] = acc.get(t, 0) + d
         return acc, truncated
 
+    def stored_prefix_counts(self, col, prefix, limit):
+        acc: dict[str, int] = {}
+        truncated = False
+        for s in self.searchers:
+            part, trunc = s.stored_prefix_counts(col, prefix, limit)
+            truncated |= trunc
+            for t, d in part.items():
+                acc[t] = acc.get(t, 0) + d
+        return acc, truncated
+
     def all_terms_stats(self) -> dict[str, int]:
         from .ast import FIELD_SEP
 
@@ -1379,8 +1389,9 @@ class IndexSearcher:
         ``None`` (or the default text column, normalized by the facade) scans
         the default-field postings; a registered per-field text column scans
         its ``<field>\\x1f``-keyed dictionary range; a stored keyword/docvalue
-        column has no postings — its distinct values + counts come from the
-        facet ordinal machinery instead (same distributed path as Q9)."""
+        column has no postings — its (value, live-doc count) pairs come from
+        a per-segment PREFIX-PUSHED docvalue scan (only the matching range
+        ships; the former MatchAll facet shipped every distinct value)."""
         import ray
 
         cfg = self.manifest.config
@@ -1389,20 +1400,30 @@ class IndexSearcher:
         if field is not None and field not in cfg.get("text_fields", ()):
             if field not in cfg.get("stored_cols", ()):
                 return []  # unknown field: the reference returns no terms
-            res = self.execute(MatchAllQ(), stop=0, facets=[field])
-            vals = res.drilldown_data.get(field, {})
-            return sorted(
-                ((v, c) for v, c in vals.items() if isinstance(v, str) and v.startswith(prefix)),
-                key=lambda kv: (-kv[1], kv[0]),
-            )[:limit]
+            parts = ray.get(
+                [
+                    a.stored_prefix_counts.remote(field, prefix, 100_000)
+                    for a in self.actors
+                ]
+            )
+            return self._merge_prefix_parts(parts, prefix, limit)
 
         # scan the full prefix range per segment (cap only as a safety valve):
         # truncating per-segment in term order would drop high-df terms that
         # sort late, breaking the df-desc re-sort (meresco _lucene.py:132-142)
-        acc: dict[str, int] = {}
-        for part, truncated in ray.get(
+        parts = ray.get(
             [a.prefix_terms.remote(prefix, 100_000, field) for a in self.actors]
-        ):
+        )
+        return self._merge_prefix_parts(parts, prefix, limit)
+
+    @staticmethod
+    def _merge_prefix_parts(
+        parts: list[tuple[dict[str, int], bool]], prefix: str, limit: int
+    ) -> list[tuple[str, int]]:
+        """Sum per-actor (term → count) partials, df-desc re-sort, cap at
+        ``limit`` (meresco _lucene.py:132-142)."""
+        acc: dict[str, int] = {}
+        for part, truncated in parts:
             if truncated:
                 # pathological prefix: a SEGMENT scan stopped at the valve
                 # with matching terms left, so the df-desc re-sort below may

@@ -850,6 +850,10 @@ class SegmentSearcher:
                     out[v] = out.get(v, 0) + int(c)
             return out
         sel = vals[mask]
+        if sel.dtype == object:
+            # docs without a value in the facet field aren't counted (and
+            # None is unsortable against str inside np.unique)
+            sel = sel[sel != np.array(None)]
         uniq, cnt = np.unique(sel, return_counts=True)
         return {v: int(c) for v, c in zip(uniq.tolist(), cnt.tolist())}
 
@@ -998,6 +1002,60 @@ class SegmentSearcher:
             terms.append(t[strip:] if strip else t)
             dfs.append(int(self.df[i]))
         return terms, np.asarray(dfs, dtype=np.int64), truncated
+
+    def stored_prefix_counts(
+        self, col: str, prefix: str, limit: int
+    ) -> tuple[dict[str, int], bool]:
+        """prefixSearch pushdown for a stored keyword/docvalue column (no
+        postings — Lucene.java:629-666 served from the doc values instead):
+        (value, live-doc count) pairs RESTRICTED to the prefix range, so only
+        matching values ship to the driver.  The former path ran a MatchAll
+        facet per segment and prefix-filtered driver-side, paying the full
+        distinct-value payload for a one-character prefix.  Scalar string
+        columns count docs per value; list<string> taxonomy columns count
+        docs per '>'-joined path prefix with hierarchical rollup — identical
+        keys and counts to ``facet_counts(MatchAll)`` ∩ prefix.
+        ``truncated`` mirrors prefix_terms' safety-valve signal: True only
+        when matching values were dropped at ``limit``."""
+        import pyarrow.compute as pc
+
+        live = self._apply_live(np.ones(self.n, dtype=bool))
+        vals = self.col(col)
+        sample = next((v for v in vals if v is not None), None)
+        out: dict[str, int] = {}
+        if isinstance(sample, (list, np.ndarray)):
+            lv = vals[live]
+            max_depth = max((len(v) for v in lv if v is not None), default=0)
+            # a depth-d rollup key holds exactly d-1 '>' separators, so it
+            # can only start with ``prefix`` when d-1 >= prefix.count('>')
+            for depth in range(prefix.count(">") + 1, max_depth + 1):
+                level = self._facet_level_col(col, depth)[live]
+                keep = np.array(
+                    [isinstance(v, str) and v.startswith(prefix) for v in level],
+                    dtype=bool,
+                )
+                if not keep.any():
+                    continue
+                uniq, cnt = np.unique(level[keep], return_counts=True)
+                for v, c in zip(uniq.tolist(), cnt.tolist()):
+                    out[v] = out.get(v, 0) + int(c)
+        elif isinstance(sample, str):
+            arr = self.docs[col].combine_chunks()
+            m = (
+                pc.fill_null(pc.starts_with(arr, prefix), False).to_numpy(
+                    zero_copy_only=False
+                )
+                & live
+            )
+            if m.any():
+                uniq, cnt = np.unique(vals[m], return_counts=True)
+                out = {str(v): int(c) for v, c in zip(uniq.tolist(), cnt.tolist())}
+        # non-string scalar columns: no value can string-prefix-match (the
+        # former driver-side filter dropped them with isinstance(v, str))
+        truncated = len(out) > limit
+        if truncated:
+            out = dict(sorted(out.items())[:limit])
+        return out, truncated
 
     def fetch(self, docids: np.ndarray, cols: Sequence[str]) -> pa.Table:
         local = (np.asarray(docids, dtype=np.int64) - self.base).astype(np.int64)
