@@ -133,6 +133,71 @@ def _sha256_column(col) -> pa.Array:
     )
 
 
+# bytes whose codepoint is in [A-Za-z0-9_] — the frozen token class.  Any
+# UTF-8 multibyte character has every byte ≥ 0x80, so byte-level
+# classification splits EXACTLY like the regex's codepoint semantics.
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+_TOKEN_BYTE[
+    np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_",
+        dtype=np.uint8,
+    )
+] = True
+
+
+def _ascii_token_stream(col: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Tokenize a string column by byte-table scan — the safe-path
+    replacement for ``split_pattern_regex`` (~2× on this corpus shape):
+    token = maximal run of ``_TOKEN_BYTE`` bytes within one doc.
+
+    Returns ``(values StringArray, token_doc int32[])`` where ``values`` are
+    the (original-case) tokens in doc order and ``token_doc[i]`` the doc of
+    token i.  The compact values buffer is just ``b[ok]`` — token bytes in
+    buffer order ARE the concatenation of all tokens, so no gather-index
+    arithmetic and no empty tokens to drop.  Nulls must be pre-filled."""
+    if pa.types.is_large_string(col.type):
+        wid, stype = np.int64, pa.large_string()
+    else:
+        wid, stype = np.int32, pa.string()
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=wid, count=len(col) + 1 + col.offset)[
+        col.offset :
+    ]
+    lo, hi = int(offs[0]), int(offs[-1])
+    b = np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
+    ok = _TOKEN_BYTE[b]
+    nb = ok.size
+    doc_pos = offs[1:-1].astype(np.int64) - lo  # interior doc boundaries
+    prev = np.empty_like(ok)
+    nxt = np.empty_like(ok)
+    if nb:
+        prev[0] = False
+        prev[1:] = ok[:-1]
+        nxt[-1] = False
+        nxt[:-1] = ok[1:]
+    # a token never spans docs: force a break on both sides of a boundary
+    dp = doc_pos[doc_pos < nb]
+    prev[dp] = False
+    dpm = doc_pos[doc_pos > 0] - 1
+    nxt[dpm[dpm < nb]] = False
+    starts = np.flatnonzero(ok & ~prev)
+    L = (np.flatnonzero(ok & ~nxt) + 1) - starts
+    token_doc = (np.searchsorted(offs, starts + lo, side="right") - 1).astype(
+        np.int32
+    )
+    out_off = np.concatenate(([0], np.cumsum(L)))
+    values = pa.Array.from_buffers(
+        stype,
+        starts.size,
+        [
+            None,
+            pa.py_buffer(out_off.astype(wid, copy=False)),
+            pa.py_buffer(b[ok]),
+        ],
+    )
+    return values, token_doc
+
+
 class TokenizeStage:
     """Stateless ``map_batches`` stage: normalize + tokenize + drop content.
 
@@ -212,33 +277,18 @@ class TokenizeStage:
                     ).as_py()
                 )
         if safe:
-            lists = pc.split_pattern_regex(col, pattern="[^a-zA-Z0-9_]+")
-            lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
-            offsets = lists.offsets.to_numpy(zero_copy_only=False)
-            values = lists.values
+            # byte-table scan (see _ascii_token_stream): ~2× the RE2 split,
+            # yields no empty tokens, and the compact values buffer is one
+            # boolean mask extract — then lower + merge case collisions in
+            # DICTIONARY space (small)
+            values, doc_idx = _ascii_token_stream(col)
             enc0 = pc.dictionary_encode(values)
             if isinstance(enc0, pa.ChunkedArray):
                 enc0 = enc0.combine_chunks()
-            # lower + merge case collisions in DICTIONARY space (small)
             enc1 = pc.dictionary_encode(pc.utf8_lower(enc0.dictionary))
             remap = enc1.indices.to_numpy(zero_copy_only=False)
             codes = remap[enc0.indices.to_numpy(zero_copy_only=False)]
             dictionary = enc1.dictionary
-            # int32 throughout: token/doc counts per batch are far below 2^31
-            # and halving the index-array width halves hot-loop memory traffic
-            n_per_doc = np.diff(offsets)
-            doc_idx = np.repeat(np.arange(len(lists), dtype=np.int32), n_per_doc)
-            # drop empty tokens (split artifacts at separators/boundaries):
-            # one int32 compare on CODES, not a values-buffer rewrite
-            dlens = pc.binary_length(dictionary).to_numpy(zero_copy_only=False)
-            empty = np.flatnonzero(dlens == 0)
-            if empty.size:
-                e = np.int32(empty[0])
-                keepmask = codes != e
-                codes = codes[keepmask]
-                doc_idx = doc_idx[keepmask]
-                codes = np.where(codes > e, codes - 1, codes)
-                dictionary = dictionary.filter(pa.array(dlens != 0))
         else:
             lower = pc.utf8_lower(col)
             lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
@@ -255,12 +305,13 @@ class TokenizeStage:
             doc_idx = doc_idx[nonempty]
             dictionary = enc.dictionary
         # kept tokens stay doc-contiguous and ordered → position within doc =
-        # global rank − doc's first rank
-        dl64 = np.bincount(doc_idx, minlength=len(lists))
-        doc_starts = np.concatenate(([0], np.cumsum(dl64)[:-1])).astype(np.int64)
-        pos_in_doc = (
-            np.arange(doc_idx.size, dtype=np.int64) - doc_starts[doc_idx]
-        ).astype(np.int32)
+        # global rank − doc's first rank.  int32 end to end (token count per
+        # batch « 2^31), computed in place: the former int64 arange + int64
+        # gather + int32 downcast was 3 full-width temporaries of churn
+        dl64 = np.bincount(doc_idx, minlength=len(col))
+        doc_starts = np.concatenate(([0], np.cumsum(dl64)[:-1])).astype(np.int32)
+        pos_in_doc = np.arange(doc_idx.size, dtype=np.int32)
+        pos_in_doc -= doc_starts[doc_idx]
         return codes, doc_idx, pos_in_doc, dictionary, dl64.astype(np.int32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -296,11 +347,15 @@ class TokenizeStage:
         if inv.size:
             # single-key stable sort on (doc, term): input is already
             # pos-ascending within each doc, and stable sort preserves it —
-            # one argsort instead of lexsort's three passes (memory-bound)
+            # one argsort instead of lexsort's three passes (memory-bound).
+            # Key built IN PLACE: `doc*n_dict + inv` as three expressions
+            # allocated three full-width int64 temporaries
             n_dict = int(inv.max()) + 1
-            order = np.argsort(
-                doc_idx.astype(np.int64) * n_dict + inv, kind="stable"
-            )
+            key = doc_idx.astype(np.int64)
+            key *= n_dict
+            key += inv
+            order = np.argsort(key, kind="stable")
+            del key
             di, ti, pi = doc_idx[order], inv[order], pos_in_doc[order]
             run_start = np.ones(di.size, dtype=bool)
             run_start[1:] = (di[1:] != di[:-1]) | (ti[1:] != ti[:-1])
@@ -324,7 +379,7 @@ class TokenizeStage:
                 else dictionary.cast(pa.string())
             )
             term_values = pa.DictionaryArray.from_arrays(
-                pa.array(ti[run_ids].astype(np.int32), type=pa.int32())
+                pa.array(ti[run_ids].astype(np.int32, copy=False), type=pa.int32())
                 if run_ids.size
                 else pa.array([], type=pa.int32()),
                 dict_sa,
@@ -358,7 +413,8 @@ class TokenizeStage:
         }
         if cfg.store_positions:
             inner = pa.ListArray.from_arrays(
-                pa.array(run_bounds.astype(np.int32)), pa.array(pi.astype(np.int32))
+                pa.array(run_bounds.astype(np.int32, copy=False)),
+                pa.array(pi.astype(np.int32, copy=False)),
             )
             cols["positions"] = pa.ListArray.from_arrays(pa.array(outer_off), inner)
         if cfg.hash_content:
@@ -603,8 +659,12 @@ class SegmentBuilder:
 
         t_offsets = terms_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = np.diff(t_offsets)
-        flat_tfs = tfs_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        # postings count per segment « 2^31 (one build unit): int32 index
+        # arrays + zero-copy int32 Arrow buffers — the former uint64/int64
+        # upcasts here and in the position gather were the build task's
+        # largest memory traffic (codec casts to uint64 at its boundary)
+        flat_tfs = tfs_col.values.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int32), lengths)
 
         # Arrow dictionary-encode the term strings (C, no Python objects),
         # then rank-remap codes so the term dictionary comes out
@@ -614,7 +674,7 @@ class SegmentBuilder:
         # re-encode pass was round 1's largest avoidable memory traffic.
         inner_vals = terms_col.values
         if pa.types.is_dictionary(inner_vals.type):
-            codes = inner_vals.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = inner_vals.indices.to_numpy(zero_copy_only=False)
             dict_arr = inner_vals.dictionary
             # the tokenize dictionary may carry entries whose only docs were
             # dropped by the upsert dedup — compact to PRESENT terms so df
@@ -622,18 +682,18 @@ class SegmentBuilder:
             used = np.zeros(len(dict_arr), dtype=bool)
             used[codes] = True
             if not used.all():
-                remap = (np.cumsum(used) - 1).astype(np.int64)
+                remap = (np.cumsum(used) - 1).astype(np.int32)
                 codes = remap[codes]
                 dict_arr = dict_arr.filter(pa.array(used))
         else:
             enc = pc_.dictionary_encode(inner_vals)
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
             dict_arr = enc.dictionary
-        rank_order = pc_.sort_indices(dict_arr).to_numpy(zero_copy_only=False).astype(np.int64)
-        rank = np.empty(rank_order.size, dtype=np.int64)
-        rank[rank_order] = np.arange(rank_order.size)
+        rank_order = pc_.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
+        rank = np.empty(rank_order.size, dtype=np.int32)
+        rank[rank_order] = np.arange(rank_order.size, dtype=np.int32)
         term_ids = rank[codes]
         uniq_sorted_arrow = pc_.take(dict_arr, pa.array(rank_order))
 
@@ -652,13 +712,20 @@ class SegmentBuilder:
 
         rows_term = uniq_sorted_arrow
         rows_df = np.diff(bounds).astype(np.int64)
-        rows_cf = np.add.reduceat(tf_sorted, bounds[:-1]).astype(np.int64) if t_sorted.size else np.zeros(0, dtype=np.int64)
+        # ONE uint64 cast shared by the cf sum (overflow-safe past int32) and
+        # the codec, which requires uint64 and then copies nothing
+        tf64 = tf_sorted.astype(np.uint64)
+        rows_cf = (
+            np.add.reduceat(tf64, bounds[:-1]).astype(np.int64)
+            if t_sorted.size
+            else np.zeros(0, dtype=np.int64)
+        )
 
         # one vectorized encode pass for the whole segment's postings
         # (dls feed the per-block max(tf/dl) bound for block-max pruning)
         docs_col, tfs_col_enc, blk_last, blk_maxtf, blk_doc_off, blk_tf_off, blk_maxtfdl = (
             encode_segment_postings(
-                term_starts, docids_global[d_sorted], tf_sorted, dls=dl[d_sorted]
+                term_starts, docids_global[d_sorted], tf64, dls=dl[d_sorted]
             )
         )
 
@@ -667,7 +734,7 @@ class SegmentBuilder:
             pcol = group["positions"].combine_chunks()
             inner = pcol.values  # list<int32> per (doc, term) posting, doc-major order
             inner_off = inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            inner_vals = inner.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            inner_vals = inner.values.to_numpy(zero_copy_only=False)  # int32, zero-copy
             inner_len = np.diff(inner_off)
             # gather position spans into (term, doc) posting order
             L = inner_len[sort]
@@ -680,9 +747,16 @@ class SegmentBuilder:
                 else np.zeros(0, dtype=np.int64)
             )
             total = int(L.sum())
-            gather = np.repeat(inner_off[:-1][sort], L) + (
-                np.arange(total, dtype=np.int64) - np.repeat(out_starts, L)
-            )
+            # int32 gather indices (position count per segment « 2^31; int64
+            # fallback guards the pathological case), built IN PLACE — the
+            # one-expression form held four full-width int64 temporaries
+            idt = np.int32 if total < 2**31 else np.int64
+            # order matters for int32: arange − out_start first (a small
+            # within-posting offset), THEN + span_start — every intermediate
+            # stays < total, so no int32 overflow below the 2^31 gate
+            gather = np.arange(total, dtype=idt)
+            gather -= np.repeat(out_starts.astype(idt, copy=False), L)
+            gather += np.repeat(inner_off[:-1][sort].astype(idt, copy=False), L)
             positions_flat = inner_vals[gather]
             pos_col, pos_offs = encode_segment_positions(bounds, positions_flat, out_starts)
 

@@ -40,14 +40,18 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     big = v >> np.uint64(7)
     if not big.any():
         return v.astype(np.uint8).tobytes(), np.ones(v.size, dtype=np.int64)
-    nbytes = np.ones(v.shape, dtype=np.int64)
+    # nbytes fits int8 (≤10 for uint64); the shift loop works IN PLACE on the
+    # `big` copy — the former int64 counts + per-round shifted copies were
+    # 2+rounds full-width temporaries on the build's hottest kernel
+    nbytes8 = np.ones(v.shape, dtype=np.int8)
     shifted = big
     while True:
         mask = shifted > 0
         if not mask.any():
             break
-        nbytes[mask] += 1
-        shifted = shifted >> np.uint64(7)
+        nbytes8[mask] += 1
+        shifted >>= np.uint64(7)
+    nbytes = nbytes8.astype(np.int64)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
