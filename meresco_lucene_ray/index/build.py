@@ -164,7 +164,11 @@ def _ascii_token_stream(col: pa.Array) -> tuple[pa.Array, np.ndarray]:
         col.offset :
     ]
     lo, hi = int(offs[0]), int(offs[-1])
-    b = np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
+    b = (
+        np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
+        if bufs[2] is not None  # all-empty arrays can carry a null data buffer
+        else np.empty(0, dtype=np.uint8)
+    )
     ok = _TOKEN_BYTE[b]
     nb = ok.size
     doc_pos = offs[1:-1].astype(np.int64) - lo  # interior doc boundaries
