@@ -34,10 +34,20 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     general case the first byte is written unmasked and only the small
     multi-byte tail pays fancy-index scatters.
     """
-    v = np.asarray(values, dtype=np.uint64)
+    v = np.asarray(values)
+    # dtype-native: int32/uint32 inputs (position streams) encode at half
+    # the memory traffic — LEB128 bytes depend only on the VALUE, so the
+    # output is identical to the uint64 path (inputs must be non-negative,
+    # as before: the old unconditional uint64 cast mangled negatives too)
+    if v.dtype == np.int32:
+        v = v.view(np.uint32)
+    elif v.dtype != np.uint32 and v.dtype != np.uint64:
+        v = np.asarray(v, dtype=np.uint64)
+    seven = v.dtype.type(7)
+    mask7f = v.dtype.type(0x7F)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    big = v >> np.uint64(7)
+    big = v >> seven
     if not big.any():
         return v.astype(np.uint8).tobytes(), np.ones(v.size, dtype=np.int64)
     # nbytes fits int8 (≤10 for uint64); the shift loop works IN PLACE on the
@@ -50,19 +60,19 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         if not mask.any():
             break
         nbytes8[mask] += 1
-        shifted >>= np.uint64(7)
+        shifted >>= seven
     nbytes = nbytes8.astype(np.int64)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
     maxb = int(nbytes.max())
     # byte 0 exists for EVERY value — no mask needed
-    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+    out[starts] = (v & mask7f).astype(np.uint8) | (
         (nbytes > 1).astype(np.uint8) << 7
     )
     for k in range(1, maxb):
         mask = nbytes > k
-        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        byte = (v[mask] >> v.dtype.type(7 * k)) & mask7f
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[starts[mask] + k] = byte.astype(np.uint8) | cont
     return out.tobytes(), nbytes
@@ -144,8 +154,14 @@ def decode_postings(docs_buf: bytes, tfs_buf: bytes) -> tuple[np.ndarray, np.nda
 
 def grouped_delta(values: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
     """Delta-encode within groups of one concatenated sorted array: each
-    group's first value stays absolute, the rest become gaps."""
-    v = np.asarray(values, dtype=np.uint64)
+    group's first value stays absolute, the rest become gaps.  int32/uint32
+    inputs stay 4-byte (unsigned wraparound across group boundaries is
+    overwritten by the absolute group-start values, same as uint64)."""
+    v = np.asarray(values)
+    if v.dtype == np.int32:
+        v = v.view(np.uint32)
+    elif v.dtype != np.uint32 and v.dtype != np.uint64:
+        v = np.asarray(v, dtype=np.uint64)
     if v.size == 0:
         return v
     g = np.empty_like(v)
