@@ -24,12 +24,93 @@ import unicodedata
 from collections import Counter
 from collections.abc import Iterable, Sequence
 
+import numpy as np
+
 TOKEN_PATTERN = r"[a-z0-9_]+"
 TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 # The SAME tokenizer, as a DuckDB SQL expression over a column reference.
 # Keep in lockstep with TOKEN_PATTERN — the oracle gate depends on it.
 SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9_]+')"
+
+# bytes whose codepoint is in [A-Za-z0-9_] — the frozen token class.  Any
+# UTF-8 multibyte character has every byte ≥ 0x80, so byte-level
+# classification splits EXACTLY like the regex's codepoint semantics.
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+_TOKEN_BYTE[
+    np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_",
+        dtype=np.uint8,
+    )
+] = True
+
+# chars whose Unicode LOWERCASE maps into [a-z0-9_] without being
+# [A-Za-z0-9_] themselves: İ (U+0130 → "i" + U+0307) and K (U+212A → "k") —
+# the only inputs where scan-original-case-then-lower-the-dictionary
+# diverges from lower-first tokenization.  Exhaustively verified over every
+# Unicode codepoint by tests/test_tokenize_paths.py.
+UNSAFE_LOWER_RE = "[İK]"
+
+
+def ascii_token_stream(col):
+    """Tokenize a string column by byte-table scan — the safe-path
+    replacement for ``split_pattern_regex`` (~2× on source-text shapes):
+    token = maximal run of ``_TOKEN_BYTE`` bytes within one doc.
+
+    Returns ``(values StringArray, token_doc int32[])`` where ``values`` are
+    the (original-case) tokens in doc order and ``token_doc[i]`` the doc of
+    token i.  The compact values buffer is just ``b[ok]`` — token bytes in
+    buffer order ARE the concatenation of all tokens, so no gather-index
+    arithmetic and no empty tokens to drop.  Nulls must be pre-filled;
+    callers must gate on ``UNSAFE_LOWER_RE`` before lowering the dictionary
+    (see TokenizeStage._tokens_arrow / arrow_tokens)."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(col.type):
+        wid, stype = np.int64, pa.large_string()
+    else:
+        wid, stype = np.int32, pa.string()
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=wid, count=len(col) + 1 + col.offset)[
+        col.offset :
+    ]
+    lo, hi = int(offs[0]), int(offs[-1])
+    b = (
+        np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
+        if bufs[2] is not None  # all-empty arrays can carry a null data buffer
+        else np.empty(0, dtype=np.uint8)
+    )
+    ok = _TOKEN_BYTE[b]
+    nb = ok.size
+    doc_pos = offs[1:-1].astype(np.int64) - lo  # interior doc boundaries
+    prev = np.empty_like(ok)
+    nxt = np.empty_like(ok)
+    if nb:
+        prev[0] = False
+        prev[1:] = ok[:-1]
+        nxt[-1] = False
+        nxt[:-1] = ok[1:]
+    # a token never spans docs: force a break on both sides of a boundary
+    dp = doc_pos[doc_pos < nb]
+    prev[dp] = False
+    dpm = doc_pos[doc_pos > 0] - 1
+    nxt[dpm[dpm < nb]] = False
+    starts = np.flatnonzero(ok & ~prev)
+    L = (np.flatnonzero(ok & ~nxt) + 1) - starts
+    token_doc = (np.searchsorted(offs, starts + lo, side="right") - 1).astype(
+        np.int32
+    )
+    out_off = np.concatenate(([0], np.cumsum(L)))
+    values = pa.Array.from_buffers(
+        stype,
+        starts.size,
+        [
+            None,
+            pa.py_buffer(out_off.astype(wid, copy=False)),
+            pa.py_buffer(b[ok]),
+        ],
+    )
+    return values, token_doc
 
 
 def fold_ascii(text: str) -> str:
@@ -61,8 +142,15 @@ def arrow_tokens(col):
     dl int64[])`` where ``dictionary[codes[i]]`` is the i-th token of the
     doc-contiguous token stream, ``doc_idx[i]`` its document, and ``dl`` the
     per-doc token counts.  Used by the dedup/textstats hot paths (the index
-    build keeps its own fused copy in ``index/build.py``)."""
-    import numpy as np
+    build keeps its own fused copy in ``index/build.py``).
+
+    Safe path (ASCII, or no İ/K — see ``UNSAFE_LOWER_RE``): byte-table scan
+    of the ORIGINAL text + lowercase only the token dictionary, merging case
+    collisions — ~2× the RE2 split and no full-corpus lowered copy.  The
+    dictionary keeps first-appearance order either way: lowering preserves
+    dict0's order, and re-encoding it yields each lowered token at the
+    position of its first original-case appearance — exactly the lower-first
+    dictionary's order."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -72,6 +160,21 @@ def arrow_tokens(col):
         col = pc.fill_null(col, "")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+    safe = bool(pc.all(pc.string_is_ascii(col), min_count=0).as_py())
+    if not safe:
+        safe = not bool(
+            pc.any(pc.match_substring_regex(col, UNSAFE_LOWER_RE), min_count=0).as_py()
+        )
+    if safe:
+        values, doc_idx = ascii_token_stream(col)
+        enc0 = pc.dictionary_encode(values)
+        if isinstance(enc0, pa.ChunkedArray):
+            enc0 = enc0.combine_chunks()
+        enc1 = pc.dictionary_encode(pc.utf8_lower(enc0.dictionary))
+        remap = enc1.indices.to_numpy(zero_copy_only=False)
+        codes = remap[enc0.indices.to_numpy(zero_copy_only=False)]
+        dl = np.bincount(doc_idx, minlength=len(col)).astype(np.int64)
+        return codes, doc_idx, enc1.dictionary, dl
     lower = pc.utf8_lower(col)
     lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
     lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists

@@ -46,7 +46,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis import make_tokenizer, tokenize_batch
+from ..analysis import ascii_token_stream, make_tokenizer, tokenize_batch
 from .codec import encode_segment_positions, encode_segment_postings
 from .manifest import IndexManifest, SegmentInfo
 
@@ -133,75 +133,6 @@ def _sha256_column(col) -> pa.Array:
     )
 
 
-# bytes whose codepoint is in [A-Za-z0-9_] — the frozen token class.  Any
-# UTF-8 multibyte character has every byte ≥ 0x80, so byte-level
-# classification splits EXACTLY like the regex's codepoint semantics.
-_TOKEN_BYTE = np.zeros(256, dtype=bool)
-_TOKEN_BYTE[
-    np.frombuffer(
-        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_",
-        dtype=np.uint8,
-    )
-] = True
-
-
-def _ascii_token_stream(col: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """Tokenize a string column by byte-table scan — the safe-path
-    replacement for ``split_pattern_regex`` (~2× on this corpus shape):
-    token = maximal run of ``_TOKEN_BYTE`` bytes within one doc.
-
-    Returns ``(values StringArray, token_doc int32[])`` where ``values`` are
-    the (original-case) tokens in doc order and ``token_doc[i]`` the doc of
-    token i.  The compact values buffer is just ``b[ok]`` — token bytes in
-    buffer order ARE the concatenation of all tokens, so no gather-index
-    arithmetic and no empty tokens to drop.  Nulls must be pre-filled."""
-    if pa.types.is_large_string(col.type):
-        wid, stype = np.int64, pa.large_string()
-    else:
-        wid, stype = np.int32, pa.string()
-    bufs = col.buffers()
-    offs = np.frombuffer(bufs[1], dtype=wid, count=len(col) + 1 + col.offset)[
-        col.offset :
-    ]
-    lo, hi = int(offs[0]), int(offs[-1])
-    b = (
-        np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
-        if bufs[2] is not None  # all-empty arrays can carry a null data buffer
-        else np.empty(0, dtype=np.uint8)
-    )
-    ok = _TOKEN_BYTE[b]
-    nb = ok.size
-    doc_pos = offs[1:-1].astype(np.int64) - lo  # interior doc boundaries
-    prev = np.empty_like(ok)
-    nxt = np.empty_like(ok)
-    if nb:
-        prev[0] = False
-        prev[1:] = ok[:-1]
-        nxt[-1] = False
-        nxt[:-1] = ok[1:]
-    # a token never spans docs: force a break on both sides of a boundary
-    dp = doc_pos[doc_pos < nb]
-    prev[dp] = False
-    dpm = doc_pos[doc_pos > 0] - 1
-    nxt[dpm[dpm < nb]] = False
-    starts = np.flatnonzero(ok & ~prev)
-    L = (np.flatnonzero(ok & ~nxt) + 1) - starts
-    token_doc = (np.searchsorted(offs, starts + lo, side="right") - 1).astype(
-        np.int32
-    )
-    out_off = np.concatenate(([0], np.cumsum(L)))
-    values = pa.Array.from_buffers(
-        stype,
-        starts.size,
-        [
-            None,
-            pa.py_buffer(out_off.astype(wid, copy=False)),
-            pa.py_buffer(b[ok]),
-        ],
-    )
-    return values, token_doc
-
-
 class TokenizeStage:
     """Stateless ``map_batches`` stage: normalize + tokenize + drop content.
 
@@ -281,11 +212,11 @@ class TokenizeStage:
                     ).as_py()
                 )
         if safe:
-            # byte-table scan (see _ascii_token_stream): ~2× the RE2 split,
+            # byte-table scan (see analysis.ascii_token_stream): ~2× the RE2 split,
             # yields no empty tokens, and the compact values buffer is one
             # boolean mask extract — then lower + merge case collisions in
             # DICTIONARY space (small)
-            values, doc_idx = _ascii_token_stream(col)
+            values, doc_idx = ascii_token_stream(col)
             enc0 = pc.dictionary_encode(values)
             if isinstance(enc0, pa.ChunkedArray):
                 enc0 = enc0.combine_chunks()
