@@ -92,6 +92,11 @@ def varint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = b < 0x80
+    if is_end.all():
+        # all-single-byte buffer (tf columns, dense docid gaps — the
+        # dominant case): values ARE the bytes; skip the arange/repeat/
+        # reduceat machinery (~5 full-width passes) on the query hot path
+        return b.astype(np.uint64)
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)
     starts[0] = 0
