@@ -49,7 +49,7 @@ _TOKEN_BYTE[
 # the only inputs where scan-original-case-then-lower-the-dictionary
 # diverges from lower-first tokenization.  Exhaustively verified over every
 # Unicode codepoint by tests/test_tokenize_paths.py.
-UNSAFE_LOWER_RE = "[İK]"
+UNSAFE_LOWER_RE = "[\u0130\u212a]"  # İ, K (Kelvin sign) — escaped to survive editors
 
 
 def ascii_token_stream(col):
@@ -134,6 +134,42 @@ def tokenize_batch(texts: Sequence[str | None]) -> list[list[str]]:
     return [findall(t.lower()) if t else [] for t in texts]
 
 
+def lowered_token_codes(col, _force: str | None = None):
+    """Safe-path token stream shared by ``arrow_tokens`` and the index
+    build's ``TokenizeStage._tokens_arrow`` (the ONE copy of the gate and
+    the dictionary-lower/remap logic): byte-table scan of the ORIGINAL text,
+    then lowercase only the token DICTIONARY, merging case collisions.
+
+    Returns ``(codes int32, doc_idx int32, dictionary StringArray)``, or
+    ``None`` when the ``UNSAFE_LOWER_RE`` gate demands lower-FIRST
+    tokenization (İ/K — the only codepoints where scan-then-lower
+    diverges).  ``col`` must be a combined, null-filled StringArray.
+    ``_force`` pins a path for equivalence tests ("safe" / "unsafe")."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if _force is not None:  # test hook: pin a path to verify equivalence
+        safe = _force == "safe"
+    else:
+        safe = bool(pc.all(pc.string_is_ascii(col), min_count=0).as_py())
+        if not safe:
+            safe = not bool(
+                pc.any(
+                    pc.match_substring_regex(col, UNSAFE_LOWER_RE), min_count=0
+                ).as_py()
+            )
+    if not safe:
+        return None
+    values, doc_idx = ascii_token_stream(col)
+    enc0 = pc.dictionary_encode(values)
+    if isinstance(enc0, pa.ChunkedArray):
+        enc0 = enc0.combine_chunks()
+    enc1 = pc.dictionary_encode(pc.utf8_lower(enc0.dictionary))
+    remap = enc1.indices.to_numpy(zero_copy_only=False)
+    codes = remap[enc0.indices.to_numpy(zero_copy_only=False)]
+    return codes, doc_idx, enc1.dictionary
+
+
 def arrow_tokens(col):
     """The frozen tokenizer spec evaluated entirely in Arrow C kernels —
     equivalent to ``tokenize_batch`` but with zero Python string objects.
@@ -160,21 +196,11 @@ def arrow_tokens(col):
         col = pc.fill_null(col, "")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-    safe = bool(pc.all(pc.string_is_ascii(col), min_count=0).as_py())
-    if not safe:
-        safe = not bool(
-            pc.any(pc.match_substring_regex(col, UNSAFE_LOWER_RE), min_count=0).as_py()
-        )
-    if safe:
-        values, doc_idx = ascii_token_stream(col)
-        enc0 = pc.dictionary_encode(values)
-        if isinstance(enc0, pa.ChunkedArray):
-            enc0 = enc0.combine_chunks()
-        enc1 = pc.dictionary_encode(pc.utf8_lower(enc0.dictionary))
-        remap = enc1.indices.to_numpy(zero_copy_only=False)
-        codes = remap[enc0.indices.to_numpy(zero_copy_only=False)]
+    r = lowered_token_codes(col)
+    if r is not None:
+        codes, doc_idx, dictionary = r
         dl = np.bincount(doc_idx, minlength=len(col)).astype(np.int64)
-        return codes, doc_idx, enc1.dictionary, dl
+        return codes, doc_idx, dictionary, dl
     lower = pc.utf8_lower(col)
     lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")
     lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists

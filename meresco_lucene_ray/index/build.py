@@ -46,7 +46,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis import ascii_token_stream, make_tokenizer, tokenize_batch
+from ..analysis import (
+    UNSAFE_LOWER_RE,
+    lowered_token_codes,
+    make_tokenizer,
+    tokenize_batch,
+)
 from .codec import encode_segment_positions, encode_segment_postings
 from .manifest import IndexManifest, SegmentInfo
 
@@ -180,7 +185,7 @@ class TokenizeStage:
     # [A-Za-z0-9_] themselves: İ (U+0130 → "i" + U+0307) and K (U+212A → "k").
     # Exhaustively verified over every Unicode codepoint by
     # tests/test_tokenize_paths.py::test_split_first_equivalence_all_codepoints.
-    _UNSAFE_LOWER_RE = "[İK]"
+    _UNSAFE_LOWER_RE = UNSAFE_LOWER_RE  # alias: the one copy lives in analysis
 
     def _tokens_arrow(self, col: pa.ChunkedArray, _force: str | None = None):
         """Arrow-native tokenization for the frozen default spec
@@ -201,29 +206,12 @@ class TokenizeStage:
             col = col.combine_chunks()
         if col.null_count:
             col = pc.fill_null(col, "")
-        if _force is not None:  # test hook: pin a path to verify equivalence
-            safe = _force == "safe"
-        else:
-            safe = bool(pc.all(pc.string_is_ascii(col), min_count=0).as_py())
-            if not safe:
-                safe = not bool(
-                    pc.any(
-                        pc.match_substring_regex(col, self._UNSAFE_LOWER_RE), min_count=0
-                    ).as_py()
-                )
-        if safe:
-            # byte-table scan (see analysis.ascii_token_stream): ~2× the RE2 split,
-            # yields no empty tokens, and the compact values buffer is one
-            # boolean mask extract — then lower + merge case collisions in
-            # DICTIONARY space (small)
-            values, doc_idx = ascii_token_stream(col)
-            enc0 = pc.dictionary_encode(values)
-            if isinstance(enc0, pa.ChunkedArray):
-                enc0 = enc0.combine_chunks()
-            enc1 = pc.dictionary_encode(pc.utf8_lower(enc0.dictionary))
-            remap = enc1.indices.to_numpy(zero_copy_only=False)
-            codes = remap[enc0.indices.to_numpy(zero_copy_only=False)]
-            dictionary = enc1.dictionary
+        r = lowered_token_codes(col, _force)
+        if r is not None:
+            # byte-table scan + dictionary-space lower (the ONE shared copy
+            # in analysis.lowered_token_codes): ~2× the RE2 split, yields no
+            # empty tokens, no full-corpus lowered copy
+            codes, doc_idx, dictionary = r
         else:
             lower = pc.utf8_lower(col)
             lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9_]+")

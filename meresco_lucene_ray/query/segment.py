@@ -806,6 +806,16 @@ class SegmentSearcher:
             )
         return cache[depth]
 
+    def _facet_level_arrow(self, col: str, depth: int) -> pa.Array:
+        """Arrow string view of ``_facet_level_col`` — cached per (col,
+        depth) so prefix pushdown scans run in C kernels per query."""
+        cache = self._col_cache.setdefault(f"__facet_arrow_{col}", {})
+        if depth not in cache:
+            cache[depth] = pa.array(
+                self._facet_level_col(col, depth), type=pa.string()
+            )
+        return cache[depth]
+
     def facet_counts(
         self,
         q,
@@ -1026,19 +1036,24 @@ class SegmentSearcher:
         if isinstance(sample, (list, np.ndarray)):
             lv = vals[live]
             max_depth = max((len(v) for v in lv if v is not None), default=0)
-            # a depth-d rollup key holds exactly d-1 '>' separators, so it
-            # can only start with ``prefix`` when d-1 >= prefix.count('>')
-            for depth in range(prefix.count(">") + 1, max_depth + 1):
-                level = self._facet_level_col(col, depth)[live]
-                keep = np.array(
-                    [isinstance(v, str) and v.startswith(prefix) for v in level],
-                    dtype=bool,
+            live_arr = pa.array(live)
+            # every depth is scanned: a depth-d key USUALLY holds d-1 '>'
+            # separators, but a path COMPONENT may itself contain '>' (the
+            # former depth prune dropped such keys for '>'-bearing prefixes);
+            # the scan is Arrow C per depth (starts_with + filter +
+            # value_counts) over a per-(col,depth)-cached string array, not a
+            # per-doc Python loop
+            for depth in range(1, max_depth + 1):
+                level = self._facet_level_arrow(col, depth)
+                m = pc.and_(
+                    pc.fill_null(pc.starts_with(level, prefix), False), live_arr
                 )
-                if not keep.any():
+                sel = level.filter(m)
+                if not len(sel):
                     continue
-                uniq, cnt = np.unique(level[keep], return_counts=True)
-                for v, c in zip(uniq.tolist(), cnt.tolist()):
-                    out[v] = out.get(v, 0) + int(c)
+                for s in sel.value_counts():
+                    v = s["values"].as_py()
+                    out[v] = out.get(v, 0) + s["counts"].as_py()
         elif isinstance(sample, str):
             arr = self.docs[col].combine_chunks()
             m = (

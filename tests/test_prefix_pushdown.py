@@ -65,6 +65,39 @@ def test_hierarchical_rollup_prefix(stored_index):
     assert s.prefix_search("a>", limit=100, field="cat") == [("a>x", 3), ("a>y", 1)]
 
 
+def test_component_containing_separator(ray_session, tmp_path):
+    """A path COMPONENT may itself contain '>': depth-1 key 'a>b' must match
+    prefix 'a>' (the former depth prune skipped depth 1 for '>'-bearing
+    prefixes and silently dropped it)."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "__id__": ["x0", "x1"],
+            "content": ["alpha", "beta"],
+            "cat": pa.array([["a>b"], ["a", "x"]], type=pa.list_(pa.string())),
+        }
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        text_col="content", id_col="__id__", stored_cols=("cat",), num_shards=1
+    )
+    build_index(rd.from_arrow(t), d, cfg)
+    s = IndexSearcher(d, num_actors=1, num_cpus=0.25)
+    assert dict(s.prefix_search("a>", limit=10, field="cat")) == {
+        "a>b": 1,
+        "a>x": 1,
+    }
+    # and it still agrees with the MatchAll-facet reference path
+    res = s.execute(MatchAllQ(), stop=0, facets=["cat"])
+    want = {
+        v: c
+        for v, c in res.drilldown_data["cat"].items()
+        if isinstance(v, str) and v.startswith("a>")
+    }
+    assert dict(s.prefix_search("a>", limit=10, field="cat")) == want
+
+
 def test_matches_matchall_facet_path(stored_index):
     """The pushdown must be value-identical to the facet machinery it
     replaced: MatchAll facet counts filtered by prefix driver-side."""

@@ -70,17 +70,22 @@ def test_random_stored_prefix_counts(ray_session, docs, dead_bits, prefix):
     cfg = IndexConfig(
         text_col="text", id_col="__id__", stored_cols=("lang", "path"), num_shards=2
     )
-    build_index(rd.from_arrow(t), d, cfg)
-    dead = {i for i in range(len(docs)) if dead_bits[i]}
-    if dead == set(range(len(docs))):
-        dead.pop()  # keep at least one live doc
-    if dead:
-        delete_documents(d, [ids[i] for i in sorted(dead)])
-    s = IndexSearcher(d, num_actors=2)
+    try:
+        build_index(rd.from_arrow(t), d, cfg)
+        dead = {i for i in range(len(docs)) if dead_bits[i]}
+        if dead == set(range(len(docs))):
+            dead.pop()  # keep at least one live doc
+        if dead:
+            delete_documents(d, [ids[i] for i in sorted(dead)])
+        s = IndexSearcher(d, num_actors=2)
 
-    assert s.prefix_search(prefix, limit=1000, field="lang") == _model(
-        docs, dead, 0, prefix
-    )
-    assert s.prefix_search(prefix, limit=1000, field="path") == _model(
-        docs, dead, 1, prefix
-    )
+        assert s.prefix_search(prefix, limit=1000, field="lang") == _model(
+            docs, dead, 0, prefix
+        )
+        assert s.prefix_search(prefix, limit=1000, field="path") == _model(
+            docs, dead, 1, prefix
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
